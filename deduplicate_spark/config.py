@@ -1,0 +1,83 @@
+"""Pipeline configuration.
+
+Analog of the reference's CLI flags + hard-coded constants
+(/root/reference/dupe_analysis.py:19-31: chunk=1024, batch_limit, zero_hash;
+/root/reference/deduplicate.py:731-746: --delete/--analyze/--synology flags).
+The config hash keys the checkpoint/lineage store the same way the reference
+keys its analysis DBs by sha1 of the dir set (/root/reference/dupe_analysis.py:38-43).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- assembly (stage 0) ---
+    turn_separator: str = "\n"
+    # excluded rows never enter the cascade — analog of the reference's
+    # fnmatch exclude globs '*/@*', '*/.*' (dupe_analysis.py:29-30, 179-181)
+    exclude_roles: tuple[str, ...] = ()
+    exclude_tool_prefixes: tuple[str, ...] = ()
+    exclude_conv_regex: str | None = None
+
+    # --- shingling / MinHash (stage 2) ---
+    shingle_k: int = 9           # char k-grams over the assembled doc
+    num_perm: int = 128          # MinHash permutations
+    lsh_bands: int = 32          # b
+    lsh_rows: int = 4            # r  (b*r must equal num_perm)
+    max_shingle_chars: int = 200_000   # cap per-doc kernel input (skew guard)
+
+    # --- SimHash confirmation (stage 4) ---
+    simhash_bits: int = 64
+    # confirmation kills LSH false positives (random pairs sit at hamming
+    # ~32 of 64). Calibration: hamming h ~ angle between shingle-feature
+    # vectors; h=12 corresponds to ~Jaccard 0.7, measured J=0.87 planted
+    # near-dups land at h in [8, 12], J~0.3 false positives at h >= ~20.
+    simhash_hamming_max: int = 12
+    # optional second confirmation: MinHash-estimated Jaccard >= threshold
+    # (tighter-calibrated than SimHash: std ~0.04 at 128 perms); None = off
+    min_jaccard: float | None = None
+    # require SimHash confirmation of LSH candidates (the reference's
+    # rev_hash-confirms-beg_hash layering, dupe_analysis.py:367-375)
+    confirm_with_simhash: bool = True
+    # complete_hash analog (dupe_analysis.py:622-633): when True, near-dup
+    # candidates must ALSO be exact-content-equal to cluster (strict mode)
+    complete_hash: bool = False
+
+    # --- substring pass (winnowing + LCS verify) ---
+    enable_substring_pass: bool = False
+    substring_min_len: int = 256   # t: min common-substring length to dedup on
+    winnow_kgram: int = 16         # w-gram size for winnowing fingerprints
+
+    # --- clustering / shuffle hygiene ---
+    band_salt_buckets: int = 8     # salt for hot LSH bands
+    max_band_bucket: int = 2_000   # cap pair fan-out per band bucket (logged)
+    cc_max_rounds: int = 30
+
+    # --- empty-doc handling (zero_hash analog, dupe_analysis.py:31,335-340) ---
+    empty_cluster: bool = True
+
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) != num_perm ({self.num_perm})"
+            )
+
+    def config_hash(self) -> str:
+        """Deterministic hash of the config — keys checkpoint reuse
+        (reference analog: sha1 of sorted dir set, dupe_analysis.py:38-43)."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha1(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+# SHA-1 of the empty string — the reference's zero_hash constant for
+# zero-byte files (dupe_analysis.py:31). Empty docs short-circuit the cascade.
+EMPTY_SHA1 = hashlib.sha1(b"").hexdigest()

@@ -1,0 +1,76 @@
+"""Stage 5 — connected components over the confirmed pair edge list.
+
+Exact-hash groups are transitive cliques, so the reference never needs a
+graph pass (G1, /root/reference/dupe_analysis.py:545-552). Near-dup edges
+(MinHash/SimHash) are NOT transitive — components must be computed. We use
+iterative min-label propagation expressed as DataFrame joins (the
+small-star/large-star family of Kiveris et al., "Connected Components in
+MapReduce and Beyond", specialized to min-label rounds):
+
+    L0(v) = v
+    L_{i+1}(v) = min(L_i(v), min_{u in N(v)} L_i(u))
+
+Converges in O(diameter) rounds; LSH dup components are star-like (diameter
+2-3 typical), and each round is one join + one groupBy. ``localCheckpoint``
+per round cuts the lineage chain that would otherwise grow exponentially.
+
+cluster_id = min(conv_id) of the component — stable and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(a, b) -> (conv_id, cluster_id); only nodes that appear in an
+    edge are returned (singletons are not duplicates — reference reports
+    count>1 groups only).
+    """
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+
+    labels = sym.select(F.col("src").alias("conv_id")).distinct().withColumn(
+        "label", F.col("conv_id")
+    )
+
+    for round_no in range(max_rounds):
+        # propagate: each node offers its label to every neighbor
+        offers = (
+            sym.join(labels, sym.src == labels.conv_id, "inner")
+            .select(F.col("dst").alias("conv_id"), "label")
+        )
+        new_labels = (
+            labels.select("conv_id", "label")
+            .unionByName(offers)
+            .groupBy("conv_id")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every and round_no % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "conv_id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    return labels.select("conv_id", F.col("label").alias("cluster_id"))

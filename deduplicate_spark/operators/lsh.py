@@ -1,0 +1,112 @@
+"""Stage 3 — LSH banding -> candidate pairs.
+
+Distributed analog of the reference's cascade step "only collision groups
+advance" (/root/reference/dupe_analysis.py:391-407): the MinHash signature is
+split into b bands of r rows; docs agreeing on all r values of any band share
+a band bucket; buckets with >1 member (the A1 count>1 prefilter) produce
+candidate edges.
+
+Scale design:
+  * band hashing is native (``xxhash64`` over the band slice) — no Python.
+  * one shuffle on (band_id, band_hash); AQE skew-join handles stragglers.
+  * **no quadratic self-join for big buckets**: a bucket of n near-identical
+    boilerplate docs would otherwise emit n^2 edges. Buckets up to
+    ``allpairs_max`` use within-bucket all-pairs (better confirm recall);
+    larger buckets emit *star edges* (member -> bucket-min representative),
+    which is O(n) and preserves exactly the connectivity that the
+    connected-components stage needs. Star fallback counts are surfaced via
+    :func:`bucket_stats` (no silent caps).
+  * pairs deduped across bands with one ``dropDuplicates`` — candidate
+    volume stays ~linear in corpus size for realistic dup rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+
+ALLPAIRS_MAX_DEFAULT = 64
+
+
+def band_buckets(signatures: DataFrame, config: DedupConfig | None = None) -> DataFrame:
+    """signatures(conv_id, minhash) -> (conv_id, band_id, band_hash).
+
+    band_hash = xxhash64(band_id, minhash[band_id*r : +r]) computed natively
+    via a higher-order ``transform`` + ``posexplode`` — stays in codegen.
+    """
+    config = config or DedupConfig()
+    b, r = config.lsh_bands, config.lsh_rows
+    bands_expr = (
+        f"transform(sequence(0, {b - 1}), "
+        f"i -> xxhash64(i, slice(minhash, i * {r} + 1, {r})))"
+    )
+    return signatures.select(
+        "conv_id", F.posexplode(F.expr(bands_expr)).alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    config: DedupConfig | None = None,
+    allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
+) -> DataFrame:
+    """LSH candidate edge list (a, b, evidence='lsh'), a < b, deduped."""
+    config = config or DedupConfig()
+    buckets = band_buckets(signatures, config)
+
+    w = Window.partitionBy("band_id", "band_hash")
+    annotated = buckets.select(
+        "conv_id",
+        "band_id",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("conv_id").over(w).alias("bucket_rep"),
+    ).filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
+
+    small = annotated.filter(F.col("bucket_n") <= allpairs_max)
+    large = annotated.filter(F.col("bucket_n") > allpairs_max)
+
+    # small buckets: all-pairs within bucket (reference clique semantics, J2)
+    l = small.select("band_id", "band_hash", F.col("conv_id").alias("a"))
+    r = small.select("band_id", "band_hash", F.col("conv_id").alias("b"))
+    small_pairs = l.join(r, ["band_id", "band_hash"]).filter(F.col("a") < F.col("b"))
+
+    # large buckets: star edges to the bucket representative (O(n), CC-sufficient)
+    large_pairs = large.filter(F.col("conv_id") != F.col("bucket_rep")).select(
+        F.col("bucket_rep").alias("a"), F.col("conv_id").alias("b")
+    )
+
+    return (
+        small_pairs.select("a", "b")
+        .unionByName(large_pairs)
+        .dropDuplicates(["a", "b"])
+        .withColumn("evidence", F.lit("lsh"))
+    )
+
+
+def bucket_stats(signatures: DataFrame, config: DedupConfig | None = None,
+                 allpairs_max: int = ALLPAIRS_MAX_DEFAULT) -> DataFrame:
+    """Metrics: bucket-size histogram + how many buckets fell back to star
+    pairing — recorded per stage run (lineage/metrics requirement)."""
+    config = config or DedupConfig()
+    sizes = (
+        band_buckets(signatures, config)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > 1)
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_n").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_n") > allpairs_max, 1).otherwise(0)).alias(
+            "n_star_fallback"
+        ),
+        F.sum(
+            F.when(
+                F.col("bucket_n") <= allpairs_max,
+                F.col("bucket_n") * (F.col("bucket_n") - 1) / 2,
+            ).otherwise(F.col("bucket_n") - 1)
+        ).cast("long").alias("est_edges"),
+    )

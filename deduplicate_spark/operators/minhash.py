@@ -1,0 +1,167 @@
+"""Stage 2 — shingle + MinHash + SimHash signature kernel.
+
+The graft of the reference's approximate fingerprint layer: its ``rev_hash``
+(sha1 of sampled byte windows, /root/reference/dupe_analysis.py:440-444) is a
+*sampled-content* equivalence — the reference's own tests pin that default
+dedup equivalence is the fingerprint, not full content
+(test_dupe_analysis.py:498-526 asserts the false positive). Our distributed
+analog: char k-gram shingles -> 128-permutation MinHash (Broder 1997) ->
+LSH banding, plus a 64-bit SimHash (Charikar 2002) for Hamming confirmation.
+
+All per-text work is vectorized numpy inside ``mapInPandas`` (Arrow batches;
+no per-row Python UDFs — the input_hint requirement). Per doc:
+  * rolling polynomial hash over UTF-8 bytes, mod 2^64 (uint64 wraparound),
+    normalized per-position via the modular inverse of the base, finalized
+    with a splitmix64 mixer -> one u64 per k-gram window, O(n) vectorized.
+  * unique shingle set -> MinHash sig[p] = min over shingles of the p-th
+    xor-multiply permutation (odd multiplier => bijection on Z_2^64).
+  * SimHash = per-bit majority vote over the unique shingle hashes.
+
+The same kernel functions are importable driver-side (pure numpy) for the
+recall oracle — one implementation, two harnesses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from deduplicate_spark.config import DedupConfig
+
+_BASE = np.uint64(1099511628211)          # FNV prime, odd -> invertible mod 2^64
+_INV_BASE = np.uint64(pow(1099511628211, -1, 1 << 64))
+_SEED_A = 0x9E3779B97F4A7C15             # splitmix64 golden gamma
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) permutation parameters: a odd (bijective
+    multiplier mod 2^64), b arbitrary xor mask."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int, max_chars: int | None = None) -> np.ndarray:
+    """Unique u64 hashes of all UTF-8-byte k-gram windows of ``text``.
+
+    O(n) rolling hash, fully vectorized. Texts shorter than k hash as a
+    single whole-text shingle. Empty/whitespace-only text -> empty array.
+    """
+    if max_chars is not None and len(text) > max_chars:
+        text = text[:max_chars]
+    if not text.strip():
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = buf.shape[0]
+    if n <= k:
+        # single shingle: plain polynomial hash of the whole buffer
+        pw = np.empty(n, dtype=np.uint64)
+        pw[0] = 1
+        if n > 1:
+            np.multiply.accumulate(np.full(n, _BASE, dtype=np.uint64)[: n - 1], out=pw[1:])
+        h = np.uint64((buf * pw).sum(dtype=np.uint64))
+        return _splitmix64(np.array([h], dtype=np.uint64))
+    # prefix sums S[i] = sum_{j<i} b[j]*BASE^j (mod 2^64, wraparound)
+    pw = np.empty(n, dtype=np.uint64)
+    pw[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _BASE, dtype=np.uint64), out=pw[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(buf * pw, out=s[1:], dtype=np.uint64)
+    # window hash at i: (S[i+k]-S[i]) * BASE^{-i}  == sum b[i+j]*BASE^j
+    inv = np.empty(n - k + 1, dtype=np.uint64)
+    inv[0] = 1
+    if n - k > 0:
+        np.multiply.accumulate(np.full(n - k, _INV_BASE, dtype=np.uint64), out=inv[1:])
+    w = (s[k : n + 1] - s[: n - k + 1]) * inv
+    return np.unique(_splitmix64(w))
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) u64 MinHash signature; all-ones sentinel for empty sets."""
+    num_perm = a.shape[0]
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # chunk shingles to bound the (chunk, num_perm) temporary
+    for lo in range(0, shingles.size, 4096):
+        chunk = shingles[lo : lo + 4096]
+        vals = (chunk[:, None] ^ b[None, :]) * a[None, :]
+        np.minimum(sig, vals.min(axis=0), out=sig)
+    return sig
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash over the shingle hash set (bit-majority vote)."""
+    if shingles.size == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0)
+    sim = np.uint64(0)
+    ones = votes * 2 > shingles.size
+    for i in np.nonzero(ones)[0]:
+        sim |= np.uint64(1) << np.uint64(i)
+    return int(sim)
+
+
+def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    """Exact Jaccard over two shingle hash sets (oracle-side helper)."""
+    if sh_a.size == 0 and sh_b.size == 0:
+        return 1.0
+    inter = np.intersect1d(sh_a, sh_b, assume_unique=True).size
+    union = sh_a.size + sh_b.size - inter
+    return inter / union if union else 1.0
+
+
+def _to_i64(u: np.ndarray) -> np.ndarray:
+    return u.view(np.int64)
+
+
+SIGNATURE_DDL = "conv_id string, minhash array<long>, simhash long, n_shingles int"
+
+
+def compute_signatures(docs, config: DedupConfig | None = None, seed: int = 42):
+    """docs(conv_id, doc_text, ...) -> signatures(conv_id, minhash, simhash,
+    n_shingles) via one ``mapInPandas`` pass.
+
+    Permutation params are computed deterministically inside each task from
+    (num_perm, seed) — tiny, no broadcast needed.
+    """
+    config = config or DedupConfig()
+    k = config.shingle_k
+    num_perm = config.num_perm
+    max_chars = config.max_shingle_chars
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = perm_params(num_perm, seed)
+        for pdf in batches:
+            out_ids, out_sigs, out_sims, out_ns = [], [], [], []
+            for conv_id, text in zip(pdf["conv_id"], pdf["doc_text"]):
+                sh = shingle_hashes(text or "", k, max_chars)
+                sig = minhash_signature(sh, a, b)
+                out_ids.append(conv_id)
+                out_sigs.append(_to_i64(sig).tolist())
+                out_sims.append(np.int64(np.uint64(simhash64(sh))))
+                out_ns.append(sh.size)
+            yield pd.DataFrame(
+                {
+                    "conv_id": out_ids,
+                    "minhash": out_sigs,
+                    "simhash": pd.array(out_sims, dtype="int64"),
+                    "n_shingles": pd.array(out_ns, dtype="int32"),
+                }
+            )
+
+    return docs.select("conv_id", "doc_text").mapInPandas(kernel, SIGNATURE_DDL)

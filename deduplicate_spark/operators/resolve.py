@@ -1,0 +1,81 @@
+"""Stage 6 — canonical election + actions + cluster report.
+
+The reference resolves duplicates with a greedy multi-pass keep/delete state
+machine over a mutable object graph (/root/reference/deduplicate.py:269-344,
+576-631): pick the "best" directory, keep its files, delete their clique
+peers, repeat. Spark DataFrames are immutable, so we replace mutation with a
+single deterministic *election*: one canonical representative per cluster via
+a window rank (the O1 mapping in SURVEY.md §2.6) — same outcome class
+(exactly one keeper per equivalence class), order-free and parallel.
+
+Election order mirrors the reference's preference for the "largest/most
+complete" copy (calc_max sorts by kept/extra/count totals,
+deduplicate.py:298-309): more turns first, then longer text, then smallest
+conv_id as the deterministic tie-break.
+
+The CSV report analog (S9, deduplicate.py:691-718) becomes the ``actions``
+DataFrame; the destructive delete sink (S10) is intentionally NOT an engine
+side effect — downstream consumes `action='delete'` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def elect_canonical(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """clusters(conv_id, cluster_id) x docs -> + canonical_conv_id."""
+    ranked = (
+        clusters.join(docs.select("conv_id", "n_turns", "total_len"), "conv_id", "left")
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc_nulls_last("n_turns"),
+                    F.desc_nulls_last("total_len"),
+                    F.asc("conv_id"),
+                )
+            ),
+        )
+    )
+    canon = ranked.filter(F.col("_rank") == 1).select(
+        "cluster_id", F.col("conv_id").alias("canonical_conv_id")
+    )
+    return ranked.join(canon, "cluster_id").select(
+        "conv_id", "cluster_id", "canonical_conv_id", "n_turns", "total_len"
+    )
+
+
+def actions(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """(conv_id, cluster_id, canonical_conv_id, action, freed_len) — the
+    keep-one-delete-rest recommendation (G2 state machine, derived not
+    mutated)."""
+    elected = elect_canonical(clusters, docs)
+    return elected.select(
+        "conv_id",
+        "cluster_id",
+        "canonical_conv_id",
+        F.when(F.col("conv_id") == F.col("canonical_conv_id"), F.lit("keep"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+        F.when(F.col("conv_id") == F.col("canonical_conv_id"), F.lit(0))
+        .otherwise(F.coalesce(F.col("total_len"), F.lit(0)))
+        .cast("long")
+        .alias("freed_len"),
+    )
+
+
+def cluster_report(actions_df: DataFrame) -> DataFrame:
+    """Report compaction (G5 analog, deduplicate.py:641-676): one row per
+    cluster with member/delete counts and reclaimable length — the
+    dupe_list.csv summary, grouped."""
+    return (
+        actions_df.groupBy("cluster_id", "canonical_conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("action") == "delete", 1).otherwise(0)).alias("n_deletes"),
+            F.sum("freed_len").alias("reclaimable_len"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,223 @@
+"""Substring pass — exact long-common-substring dedup.
+
+The reference carries a vestigial O(n*m) dynamic-programming
+longest-common-substring kernel (``max_overlap``, /root/reference/
+deduplicate.py:242-260 — dead code, never called). This stage is its
+scale-correct graft:
+
+  1. **Candidate generation: winnowing** (Schleimer, Wilkerson, Aiken,
+     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003).
+     Per doc: hash all w-grams, slide a window of W = t - w + 1 consecutive
+     w-gram hashes, keep each window's minimum. Guarantee: any two docs
+     sharing an exact substring of length >= t share at least one selected
+     fingerprint. Fingerprints are ~|doc| * 2/W — tiny. Vectorized numpy in
+     ``mapInPandas``.
+  2. **Bucket join**: groupBy(fingerprint) count>1 (the A1 prefilter again)
+     -> candidate pairs, star-pairing for huge buckets as in the LSH stage.
+  3. **Verification: suffix array.** Per candidate pair, build the suffix
+     array of ``a + SEP + b`` (numpy prefix-doubling, O(n log n)), Kasai LCP,
+     and take the max LCP between suffixes from different docs = exact
+     longest common substring. Confirm iff >= t. ``applyInPandas`` over
+     pair groups — only runs on winnowing candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.operators.minhash import _splitmix64
+
+
+def winnow_fingerprints(text: str, t: int, w: int, max_chars: int | None = None) -> np.ndarray:
+    """Selected fingerprint hashes per the winnowing scheme (unique u64s)."""
+    return _winnow_from_raw(_raw_window_hashes(text, w, max_chars), t, w)
+
+
+def _raw_window_hashes(text: str, w: int, max_chars: int | None = None) -> np.ndarray:
+    if max_chars is not None and len(text) > max_chars:
+        text = text[:max_chars]
+    if not text.strip():
+        return np.empty(0, dtype=np.uint64)
+    from deduplicate_spark.operators.minhash import _BASE, _INV_BASE
+
+    buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = buf.shape[0]
+    if n <= w:
+        pw = np.empty(max(n, 1), dtype=np.uint64)
+        pw[0] = 1
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, _BASE, dtype=np.uint64), out=pw[1:])
+        return _splitmix64(np.array([(buf * pw[:n]).sum(dtype=np.uint64)], dtype=np.uint64))
+    pw = np.empty(n, dtype=np.uint64)
+    pw[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _BASE, dtype=np.uint64), out=pw[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(buf * pw, out=s[1:], dtype=np.uint64)
+    inv = np.empty(n - w + 1, dtype=np.uint64)
+    inv[0] = 1
+    if n - w > 0:
+        np.multiply.accumulate(np.full(n - w, _INV_BASE, dtype=np.uint64), out=inv[1:])
+    return _splitmix64((s[w : n + 1] - s[: n - w + 1]) * inv)
+
+
+def _winnow_from_raw(raw: np.ndarray, t: int, w: int) -> np.ndarray:
+    if raw.size == 0:
+        return raw
+    window = max(1, t - w + 1)
+    if raw.size <= window:
+        return np.array([raw.min()], dtype=np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(raw, window)
+    return np.unique(sw.min(axis=1))
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Suffix array via numpy prefix-doubling (O(n log n) sorts)."""
+    n = data.shape[0]
+    rank = np.argsort(data, kind="stable")
+    key = np.empty(n, dtype=np.int64)
+    key[rank] = np.cumsum(np.concatenate(([0], np.diff(data[rank]) != 0)))
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = key[k:]
+        order = np.lexsort((key2, key))
+        combined = np.stack((key[order], key2[order]))
+        new_key = np.empty(n, dtype=np.int64)
+        diff = np.concatenate(
+            ([0], ((np.diff(combined[0]) != 0) | (np.diff(combined[1]) != 0)).astype(np.int64))
+        )
+        new_key[order] = np.cumsum(diff)
+        key = new_key
+        if key.max() == n - 1:
+            break
+        k *= 2
+    sa = np.empty(n, dtype=np.int64)
+    sa[key] = np.arange(n)
+    return sa
+
+
+def _kasai_lcp(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    n = data.shape[0]
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and data[i + h] == data[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact LCS length via suffix array + Kasai LCP over a#b.
+
+    The scale-correct replacement for the reference's O(n*m) DP matrix
+    (deduplicate.py:242-260)."""
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    if not ab or not bb:
+        return 0
+    # separators outside byte range make cross-boundary matches impossible
+    data = np.concatenate(
+        [
+            np.frombuffer(ab, dtype=np.uint8).astype(np.int64),
+            np.array([256], dtype=np.int64),
+            np.frombuffer(bb, dtype=np.uint8).astype(np.int64),
+        ]
+    )
+    sa = suffix_array(data)
+    lcp = _kasai_lcp(data, sa)
+    boundary = len(ab)  # index of the separator
+    side = sa < boundary  # True = suffix starts in a
+    # adjacent suffixes from different docs: max lcp
+    adj_diff = side[1:] != side[:-1]
+    if not adj_diff.any():
+        return 0
+    return int(lcp[1:][adj_diff].max())
+
+
+FINGERPRINT_DDL = "conv_id string, fp long"
+
+
+def doc_fingerprints(docs: DataFrame, config: DedupConfig | None = None) -> DataFrame:
+    """docs -> exploded (conv_id, fp) winnowing fingerprints."""
+    config = config or DedupConfig()
+    t, w, cap = config.substring_min_len, config.winnow_kgram, config.max_shingle_chars
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for conv_id, text in zip(pdf["conv_id"], pdf["doc_text"]):
+                sel = _winnow_from_raw(_raw_window_hashes(text or "", w, cap), t, w)
+                ids.extend([conv_id] * sel.size)
+                fps.extend(sel.view(np.int64).tolist())
+            yield pd.DataFrame({"conv_id": ids, "fp": pd.array(fps, dtype="int64")})
+
+    return docs.select("conv_id", "doc_text").mapInPandas(kernel, FINGERPRINT_DDL)
+
+
+def substring_pairs(
+    docs: DataFrame,
+    config: DedupConfig | None = None,
+    allpairs_max: int = 64,
+) -> DataFrame:
+    """Confirmed substring-dup edges (a, b, evidence='substring')."""
+    config = config or DedupConfig()
+    fps = doc_fingerprints(docs, config)
+
+    w = Window.partitionBy("fp")
+    annotated = fps.select(
+        "conv_id",
+        "fp",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("conv_id").over(w).alias("bucket_rep"),
+    ).filter(F.col("bucket_n") > 1)
+
+    small = annotated.filter(F.col("bucket_n") <= allpairs_max)
+    l = small.select("fp", F.col("conv_id").alias("a"))
+    r = small.select("fp", F.col("conv_id").alias("b"))
+    small_pairs = l.join(r, "fp").filter(F.col("a") < F.col("b")).select("a", "b")
+    large_pairs = (
+        annotated.filter(F.col("bucket_n") > allpairs_max)
+        .filter(F.col("conv_id") != F.col("bucket_rep"))
+        .select(F.col("bucket_rep").alias("a"), F.col("conv_id").alias("b"))
+    )
+    cand = small_pairs.unionByName(large_pairs).dropDuplicates(["a", "b"])
+
+    texts = docs.select("conv_id", "doc_text")
+    withtext = (
+        cand.join(
+            texts.select(F.col("conv_id").alias("a"), F.col("doc_text").alias("text_a")), "a"
+        ).join(
+            texts.select(F.col("conv_id").alias("b"), F.col("doc_text").alias("text_b")), "b"
+        )
+    )
+
+    t = config.substring_min_len
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep_a, keep_b = [], []
+            for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["text_a"], pdf["text_b"]):
+                if longest_common_substring_len(ta or "", tb or "") >= t:
+                    keep_a.append(a)
+                    keep_b.append(b)
+            yield pd.DataFrame({"a": keep_a, "b": keep_b})
+
+    return (
+        withtext.mapInPandas(verify, "a string, b string")
+        .withColumn("evidence", F.lit("substring"))
+    )

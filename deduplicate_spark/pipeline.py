@@ -1,0 +1,143 @@
+"""End-to-end dedup pipeline orchestration.
+
+The distributed restatement of the reference's cascade (size -> beg_hash ->
+rev_hash -> [full_hash], /root/reference/dupe_analysis.py:367-407), with the
+cascade's *work-avoidance* property kept: expensive stages only ever see the
+data the cheap stages could not already resolve.
+
+    docs ──exact groups──► star edges (free clusters, no MinHash needed)
+      │
+      └─► exact-distinct representatives only ──► MinHash ─► LSH ─► confirm
+                                                   (near edges between reps)
+    edges = exact ∪ near [∪ substring] ──► connected components ─► resolve
+
+Running MinHash on exact-distinct representatives is the big cascade win at
+scale: a corpus that is 40% exact-duplicate does 40% less kernel work, and
+every exact member inherits its representative's near-dup connectivity
+through the star edge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.operators.assembly import assemble_docs
+from deduplicate_spark.operators.components import connected_components
+from deduplicate_spark.operators.lsh import candidate_pairs
+from deduplicate_spark.operators.minhash import compute_signatures
+from deduplicate_spark.operators.resolve import actions as make_actions
+from deduplicate_spark.operators.resolve import cluster_report
+from deduplicate_spark.operators.simhash import confirm_pairs
+from deduplicate_spark.operators.substring import substring_pairs
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    exact_edges: DataFrame
+    signatures: DataFrame
+    candidate_edges: DataFrame
+    confirmed_edges: DataFrame
+    clusters: DataFrame
+    actions: DataFrame
+    report: DataFrame
+
+
+def exact_star_edges(docs: DataFrame, key: str = "exact_sha") -> DataFrame:
+    """(rep, member) edges within each exact-hash group — linear in group
+    size (vs the reference's all-pairs cliques, deduplicate.py:497-528);
+    connectivity-equivalent for the CC stage."""
+    w = Window.partitionBy(key)
+    return (
+        docs.filter(F.col(key).isNotNull())
+        .select(
+            "conv_id",
+            F.min("conv_id").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter((F.col("_n") > 1) & (F.col("conv_id") != F.col("rep")))
+        .select(
+            F.col("rep").alias("a"),
+            F.col("conv_id").alias("b"),
+            F.lit("exact").alias("evidence"),
+        )
+    )
+
+
+def exact_representatives(docs: DataFrame, key: str = "exact_sha") -> DataFrame:
+    """One doc per distinct exact hash (min conv_id), excluding empty docs —
+    the only rows the expensive signature kernel sees."""
+    w = Window.partitionBy(key).orderBy("conv_id")
+    return (
+        docs.filter(F.col("total_len") > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    config: DedupConfig | None = None,
+    store=None,
+) -> PipelineResult:
+    """turns -> PipelineResult. If ``store`` (a CheckpointStore) is given,
+    each stage persists + is resumable; otherwise everything is lazy with
+    localCheckpoints at iteration boundaries."""
+    config = config or DedupConfig()
+
+    def ckpt(name: str, df: DataFrame) -> DataFrame:
+        if store is not None:
+            return store.stage(name, df)
+        return df.localCheckpoint(eager=False)
+
+    docs = ckpt("docs", assemble_docs(turns, config))
+
+    exact_edges = exact_star_edges(docs)
+    reps = exact_representatives(docs)
+
+    signatures = ckpt("signatures", compute_signatures(reps, config))
+    cand = candidate_pairs(signatures, config)
+    confirmed = ckpt(
+        "pairs",
+        confirm_pairs(cand, signatures, docs=docs, config=config).select(
+            "a", "b", "evidence"
+        ),
+    )
+
+    edges = exact_edges.select("a", "b", "evidence").unionByName(confirmed)
+    if config.enable_substring_pass:
+        sub_edges = substring_pairs(reps, config)
+        edges = edges.unionByName(sub_edges)
+    edges = edges.dropDuplicates(["a", "b"])
+
+    clusters = ckpt(
+        "clusters",
+        connected_components(edges, max_rounds=config.cc_max_rounds),
+    )
+    acts = ckpt("actions", make_actions(clusters, docs))
+
+    return PipelineResult(
+        docs=docs,
+        exact_edges=exact_edges,
+        signatures=signatures,
+        candidate_edges=cand,
+        confirmed_edges=confirmed,
+        clusters=clusters,
+        actions=acts,
+        report=cluster_report(acts),
+    )
+
+
+def dup_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
+    """All co-cluster pairs (a<b) — what the recall gate compares. Cluster
+    membership implies pairhood (equivalence class), so this is a per-cluster
+    self-join; dup clusters are small so the join is cheap."""
+    l = clusters.select("cluster_id", F.col("conv_id").alias("a"))
+    r = clusters.select("cluster_id", F.col("conv_id").alias("b"))
+    return l.join(r, "cluster_id").filter(F.col("a") < F.col("b")).select("a", "b")

@@ -1,0 +1,131 @@
+"""Pure-numpy kernel tests — no Spark session needed."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from deduplicate_spark.operators.minhash import (
+    _BASE,
+    _splitmix64,
+    jaccard,
+    minhash_signature,
+    perm_params,
+    shingle_hashes,
+    simhash64,
+)
+from deduplicate_spark.operators.substring import (
+    longest_common_substring_len,
+    suffix_array,
+    winnow_fingerprints,
+)
+
+
+def _naive_window_hashes(text: str, k: int) -> np.ndarray:
+    buf = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    n = len(buf)
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(n - k + 1):
+            h = np.uint64(0)
+            p = np.uint64(1)
+            for j in range(k):
+                h += buf[i + j] * p
+                p *= _BASE
+            out.append(h)
+    return np.unique(_splitmix64(np.array(out, dtype=np.uint64)))
+
+
+def test_rolling_hash_matches_naive():
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    assert np.array_equal(shingle_hashes(text, 9), _naive_window_hashes(text, 9))
+
+
+def test_shingles_deterministic_and_short_texts():
+    assert np.array_equal(shingle_hashes("abc", 9), shingle_hashes("abc", 9))
+    assert shingle_hashes("", 9).size == 0
+    assert shingle_hashes("   ", 9).size == 0
+    assert shingle_hashes("ab", 9).size == 1  # whole-text shingle
+
+
+def test_minhash_estimates_jaccard():
+    rng = random.Random(7)
+    words = [f"word{i}" for i in range(400)]
+    base = [rng.choice(words) for _ in range(600)]
+    variant = list(base)
+    for i in range(0, len(variant), 10):
+        variant[i] = rng.choice(words)
+    a_txt, b_txt = " ".join(base), " ".join(variant)
+    sa, sb = shingle_hashes(a_txt, 9), shingle_hashes(b_txt, 9)
+    j = jaccard(sa, sb)
+    a, b = perm_params(256)
+    est = (minhash_signature(sa, a, b) == minhash_signature(sb, a, b)).mean()
+    assert abs(est - j) < 0.12
+
+
+def test_minhash_identical_texts_identical_sigs():
+    a, b = perm_params(128)
+    sh = shingle_hashes("identical corpus text " * 20, 9)
+    assert np.array_equal(minhash_signature(sh, a, b), minhash_signature(sh.copy(), a, b))
+
+
+def test_simhash_near_texts_low_hamming():
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " * 30
+    near = base.replace("echo", "brio", 3)
+    far = "completely different content everywhere nothing shared at all " * 30
+    h_near = bin(
+        simhash64(shingle_hashes(base, 9)) ^ simhash64(shingle_hashes(near, 9))
+    ).count("1")
+    h_far = bin(
+        simhash64(shingle_hashes(base, 9)) ^ simhash64(shingle_hashes(far, 9))
+    ).count("1")
+    assert h_near < h_far
+    assert h_near <= 12
+    assert h_far > 15
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    for s in ["banana", "mississippi", "abracadabra"]:
+        data = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+        expected = sorted(range(len(s)), key=lambda i: s[i:])
+        assert suffix_array(data).tolist() == expected
+
+
+def test_lcs_exact():
+    shared = "the-common-core-" * 10
+    a = "AAA" + shared + "BBB"
+    b = "xyz" * 5 + shared + "q"
+    got = longest_common_substring_len(a, b)
+    assert got >= len(shared)
+    assert longest_common_substring_len("abc" * 10, "xyz" * 10) == 0
+    assert longest_common_substring_len("", "abc") == 0
+
+
+def test_winnowing_guarantee():
+    """Docs sharing a substring of length >= t share a fingerprint."""
+    rng = random.Random(3)
+    words = [f"tok{i}" for i in range(300)]
+    shared = " ".join(rng.choice(words) for _ in range(40))  # ~240 chars
+    assert len(shared) >= 128
+    a = " ".join(rng.choice(words) for _ in range(50)) + " " + shared
+    b = shared + " " + " ".join(rng.choice(words) for _ in range(50))
+    fa = winnow_fingerprints(a, 128, 16)
+    fb = winnow_fingerprints(b, 128, 16)
+    assert np.intersect1d(fa, fb).size > 0
+
+
+def test_winnowing_disjoint_docs_share_nothing():
+    a = "aaaa bbbb cccc dddd " * 20
+    b = "zzzz yyyy xxxx wwww " * 20
+    assert np.intersect1d(
+        winnow_fingerprints(a, 64, 16), winnow_fingerprints(b, 64, 16)
+    ).size == 0
+
+
+@pytest.mark.parametrize("k", [5, 9, 13])
+def test_shingle_count(k):
+    text = "x" * 100
+    # all windows identical -> exactly one unique shingle
+    assert shingle_hashes(text, k).size == 1

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.oracle import (
+    assemble_docs_pandas,
+    oracle_dup_pairs,
+    pair_recall,
+)
+from deduplicate_spark.pipeline import dup_pairs_from_clusters, run_pipeline
+
+CFG = DedupConfig(exclude_roles=("system",), enable_substring_pass=True)
+
+
+@pytest.fixture(scope="module")
+def result(spark, turns_df):
+    res = run_pipeline(spark, turns_df, CFG)
+    res.clusters = res.clusters.cache()
+    res.actions = res.actions.cache()
+    return res
+
+
+@pytest.fixture(scope="module")
+def found_pairs(result) -> set[tuple[str, str]]:
+    return {(r["a"], r["b"]) for r in dup_pairs_from_clusters(result.clusters).collect()}
+
+
+def _expected_pairs(manifest: pd.DataFrame, levels: set[str]) -> set[tuple[str, str]]:
+    out = set()
+    for _, row in manifest.iterrows():
+        if row["expected_level"] in levels:
+            a, b = sorted([row["conv_a"], row["conv_b"]])
+            out.add((a, b))
+    return out
+
+
+def test_planted_exact_recall(found_pairs, manifest):
+    expected = _expected_pairs(manifest, {"exact"})
+    rec = pair_recall(found_pairs, expected)
+    assert rec == 1.0, f"exact recall {rec}: missing {expected - found_pairs}"
+
+
+def test_planted_near_recall(found_pairs, manifest):
+    expected = _expected_pairs(manifest, {"near"})
+    rec = pair_recall(found_pairs, expected)
+    assert rec >= 0.99, f"near recall {rec}: missing {expected - found_pairs}"
+
+
+def test_planted_substring_recall(found_pairs, manifest):
+    expected = _expected_pairs(manifest, {"substring"})
+    rec = pair_recall(found_pairs, expected)
+    assert rec >= 0.99, f"substring recall {rec}: missing {expected - found_pairs}"
+
+
+def test_excluded_dup_not_detected(found_pairs, manifest):
+    """The system-role copy is filtered pre-cascade (reference exclude
+    semantics) — it must NOT pair with its source."""
+    for _, row in manifest[manifest["kind"] == "excluded"].iterrows():
+        a, b = sorted([row["conv_a"], row["conv_b"]])
+        assert (a, b) not in found_pairs
+
+
+def test_empty_docs_form_one_cluster(result):
+    rows = result.clusters.filter(F.col("conv_id").startswith("empty/")).collect()
+    assert len(rows) == 3
+    assert len({r["cluster_id"] for r in rows}) == 1
+
+
+def test_clustering_is_partition(result):
+    assert (
+        result.clusters.groupBy("conv_id").count().filter("count > 1").count() == 0
+    )
+
+
+def test_recall_vs_pure_python_oracle(spark, corpus, found_pairs):
+    """Spark pipeline vs the driver-side reference-semantics oracle at the
+    SAME config — the BASELINE recall >= 0.99 gate, both directions."""
+    turns_pd, _ = corpus
+    docs_pd = assemble_docs_pandas(turns_pd, CFG)
+    expected = oracle_dup_pairs(docs_pd, CFG)
+    rec = pair_recall(found_pairs, expected)
+    prec_proxy = pair_recall(expected, found_pairs)  # reverse containment
+    assert rec >= 0.99, f"recall vs oracle {rec}"
+    assert prec_proxy >= 0.99, f"oracle containment {prec_proxy}"
+
+
+def test_actions_one_keep_per_cluster(result):
+    keeps = (
+        result.actions.filter(F.col("action") == "keep")
+        .groupBy("cluster_id")
+        .count()
+        .filter("count != 1")
+        .count()
+    )
+    assert keeps == 0
+
+
+def test_actions_canonical_is_member(result):
+    bad = result.actions.filter(
+        (F.col("conv_id") == F.col("canonical_conv_id"))
+        & (F.col("action") != "keep")
+    ).count()
+    assert bad == 0
+
+
+def test_report_totals(result):
+    rep = result.report.agg(
+        F.sum("n_members").alias("m"), F.sum("n_deletes").alias("d")
+    ).collect()[0]
+    n_members = result.clusters.count()
+    n_deletes = result.actions.filter("action = 'delete'").count()
+    assert rep["m"] == n_members
+    assert rep["d"] == n_deletes
