@@ -1,0 +1,551 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver-provided parquet tables (documents / events / embeddings). Column
+names are aliased identically on both sides — the driver's comparator sorts
+columns by name and hashes values.
+
+Portability rules used throughout (Spark <-> DuckDB):
+  * counts / sums cast to BIGINT on both sides (DuckDB SUM(int) is HUGEINT);
+  * no raw doubles in output except explicitly rounded ones;
+  * md5 (both engines) instead of sha1 (Spark-only) for content keys;
+  * window ties always broken by a unique id for determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View the documents table as single-turn transcripts — the bridge from
+    the driver corpus to the engine's input contract."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S1/A4 stage-0 assembly analog over events: conversation per user, turns
+# ordered by (ts, event_id)   [SURVEY S1; dupe_analysis.py:160-232]
+# --------------------------------------------------------------------------
+def q_stage0_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").cast("long").alias("conv_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("turns")
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(
+                "\n", F.transform(F.col("turns"), lambda t: t["event_type"])
+            ).alias("doc_text"),
+            F.size("turns").cast("long").alias("n_turns"),
+        )
+    )
+
+
+SQL_STAGE0 = """
+SELECT CAST(user_id AS BIGINT) AS conv_id,
+       string_agg(event_type, chr(10) ORDER BY ts, event_id) AS doc_text,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 collision-group prefilter  [dupe_analysis.py:391-407]
+# --------------------------------------------------------------------------
+def q_a1_collision_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy(F.col("n_chars").cast("long").alias("size_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+SQL_A1 = """
+SELECT CAST(n_chars AS BIGINT) AS size_key, CAST(count(*) AS BIGINT) AS n_members
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY n_chars HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 semi-join to collision groups  [dupe_analysis.py:395-406]
+# --------------------------------------------------------------------------
+def q_j1_semi_join_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hot = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+        .select("n_chars")
+    )
+    return docs.join(hot, "n_chars", "left_semi").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("size_key"),
+    )
+
+
+SQL_J1 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS size_key
+FROM documents
+WHERE n_chars IN (SELECT n_chars FROM documents GROUP BY n_chars HAVING count(*) > 1)
+"""
+
+
+# --------------------------------------------------------------------------
+# J5 anti-join: rows NOT in any collision group  [deduplicate.py:593-597]
+# --------------------------------------------------------------------------
+def q_j5_anti_join_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hot = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+        .select("n_chars")
+    )
+    return docs.join(hot, "n_chars", "left_anti").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+SQL_J5 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE n_chars NOT IN (SELECT n_chars FROM documents GROUP BY n_chars HAVING count(*) > 1)
+"""
+
+
+# --------------------------------------------------------------------------
+# A2 duplicate-group report  [dupe_analysis.py:532-562]
+# --------------------------------------------------------------------------
+def q_a2_dup_group_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("event_id").cast("long").alias("cluster_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+SQL_A2 = """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(event_id) AS BIGINT) AS cluster_id
+FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# G1 exact content clusters  [dupe_analysis.py:545-552]
+# --------------------------------------------------------------------------
+def q_g1_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("content_key", F.md5("text"))
+    w = Window.partitionBy("content_key")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.min("doc_id").over(w).cast("long").alias("cluster_id"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("doc_id", "cluster_id")
+    )
+
+
+SQL_G1 = """
+WITH keyed AS (SELECT doc_id, md5(text) AS content_key FROM documents),
+grp AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY content_key) AS n,
+         min(doc_id) OVER (PARTITION BY content_key) AS cluster_id
+  FROM keyed)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM grp WHERE n > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# J4 merge-dedup union  [dupe_analysis.py:454-469]
+# --------------------------------------------------------------------------
+def q_j4_union_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs  # overlaps batch1 — first-writer-wins on doc_id
+    return (
+        batch1.unionByName(batch2)
+        .dropDuplicates(["doc_id"])
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+SQL_J4 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(n_chars) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, n_chars FROM documents
+) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# O1 canonical election  [deduplicate.py:269-323]
+# --------------------------------------------------------------------------
+def q_o1_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.when(F.row_number().over(w) == 1, F.lit("keep"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+    )
+
+
+SQL_O1 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CASE WHEN row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY n_chars DESC, doc_id ASC) = 1
+            THEN 'keep' ELSE 'delete' END AS action
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# O3/top-k: top-3 events by value per type  [deduplicate.py:697 sorted output]
+# --------------------------------------------------------------------------
+def q_o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+SQL_O3 = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events)
+WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# F1 exclude filter  [dupe_analysis.py:29-30, 179-181]
+# --------------------------------------------------------------------------
+def q_f1_exclude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        (~F.col("source").isin("src0")) & (F.col("lang") != "zh")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_F1 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE source NOT IN ('src0') AND lang != 'zh'
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token count  (training-data pipeline op)
+# --------------------------------------------------------------------------
+def q_tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+SQL_TX_TOKENS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis: quality heuristics (length / word stats / stopword ratio)
+# --------------------------------------------------------------------------
+def q_tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    stop = F.regexp_count("text", F.lit(r"\b(the|a)\b"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        toks.cast("long").alias("n_tokens"),
+        stop.cast("long").alias("n_stopwords"),
+        (F.length("text") >= 100).alias("long_enough"),
+    )
+
+
+SQL_TX_QUALITY = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT) AS n_stopwords,
+       length(text) >= 100 AS long_enough
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup: word-3-gram Jaccard near-dup pairs (native arrays both engines)
+# --------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.6
+_LEN_BAND = 0.2  # candidate prefilter: |len diff| <= 20% (cascade semantics)
+
+
+def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, 0)), "
+                "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))"
+            )
+        ).alias("grams"),
+    )
+    l = grams.alias("l")
+    r = grams.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.doc_id") < F.col("r.doc_id"))
+        & (
+            F.abs(F.col("l.n_chars") - F.col("r.n_chars"))
+            <= F.least(F.col("l.n_chars"), F.col("r.n_chars")) * _LEN_BAND
+        ),
+    )
+    inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
+    uni = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
+    return (
+        joined.select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            (inter / uni).alias("_j"),
+        )
+        .filter(F.col("_j") >= _JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+
+
+SQL_DD_NGRAM = rf"""
+WITH grams AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         list_distinct(list_transform(
+           range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+           i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i+1:i+3], ' ')
+         )) AS grams
+  FROM documents)
+SELECT l.doc_id AS a, r.doc_id AS b
+FROM grams l JOIN grams r
+  ON l.doc_id < r.doc_id
+ AND abs(l.n_chars - r.n_chars) <= least(l.n_chars, r.n_chars) * {_LEN_BAND}
+WHERE len(list_intersect(l.grams, r.grams)) * 1.0
+      / len(list_distinct(list_concat(l.grams, r.grams))) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k  (embeddings table)
+# --------------------------------------------------------------------------
+_ANN_K = 5
+_ANN_QUERIES = 5
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") < _ANN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("_cs"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ANN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.col("rnk").cast("long"))
+    )
+
+
+SQL_ANN = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {_ANN_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding) AS cs
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rnk
+  FROM scored)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only driver check): the engine itself
+# --------------------------------------------------------------------------
+def q_dd_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash/LSH/SimHash/CC pipeline over documents-as-transcripts."""
+    from deduplicate_spark.pipeline import run_pipeline
+
+    turns = docs_as_transcripts(spark, sf_dir)
+    res = run_pipeline(spark, turns, DedupConfig())
+    return res.clusters.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def q_dd_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduplicate_spark.pipeline import run_pipeline
+
+    turns = docs_as_transcripts(spark, sf_dir)
+    res = run_pipeline(spark, turns, DedupConfig())
+    return res.actions.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("canonical_conv_id").cast("long").alias("canonical_doc_id"),
+        "action",
+    )
+
+
+def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduplicate_spark.operators.assembly import assemble_docs
+    from deduplicate_spark.operators.lsh import candidate_pairs
+    from deduplicate_spark.operators.minhash import compute_signatures
+    from deduplicate_spark.operators.simhash import confirm_pairs
+
+    cfg = DedupConfig()
+    docs = assemble_docs(docs_as_transcripts(spark, sf_dir), cfg)
+    sigs = compute_signatures(docs, cfg)
+    cand = candidate_pairs(sigs, cfg)
+    return confirm_pairs(cand, sigs, config=cfg).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_dd_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduplicate_spark.operators.assembly import assemble_docs
+    from deduplicate_spark.operators.substring import substring_pairs
+
+    cfg = DedupConfig(enable_substring_pass=True)
+    docs = assemble_docs(docs_as_transcripts(spark, sf_dir), cfg)
+    return substring_pairs(docs, cfg).select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "stage0_assemble": q_stage0_assemble,
+        "a1_collision_groups": q_a1_collision_groups,
+        "j1_semi_join_collisions": q_j1_semi_join_collisions,
+        "j5_anti_join_unique": q_j5_anti_join_unique,
+        "a2_dup_group_report": q_a2_dup_group_report,
+        "g1_exact_clusters": q_g1_exact_clusters,
+        "j4_union_dedup_merge": q_j4_union_dedup_merge,
+        "o1_canonical_election": q_o1_canonical_election,
+        "o3_topk_per_group": q_o3_topk_per_group,
+        "f1_exclude_filter": q_f1_exclude_filter,
+        "tx_token_count": q_tx_token_count,
+        "tx_quality": q_tx_quality,
+        "dd_ngram_jaccard_pairs": q_dd_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # engine-native (no SQL oracle -> rows-only check)
+        "dd_minhash_clusters": q_dd_minhash_clusters,
+        "dd_actions": q_dd_actions,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "dd_substring_pairs": q_dd_substring_pairs,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "stage0_assemble": SQL_STAGE0,
+        "a1_collision_groups": SQL_A1,
+        "j1_semi_join_collisions": SQL_J1,
+        "j5_anti_join_unique": SQL_J5,
+        "a2_dup_group_report": SQL_A2,
+        "g1_exact_clusters": SQL_G1,
+        "j4_union_dedup_merge": SQL_J4,
+        "o1_canonical_election": SQL_O1,
+        "o3_topk_per_group": SQL_O3,
+        "f1_exclude_filter": SQL_F1,
+        "tx_token_count": SQL_TX_TOKENS,
+        "tx_quality": SQL_TX_QUALITY,
+        "dd_ngram_jaccard_pairs": SQL_DD_NGRAM,
+        "ann_cosine_topk": SQL_ANN,
+    }
