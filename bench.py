@@ -1,0 +1,109 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship is the full near-dup pipeline (assembly -> exact cascade ->
+MinHash -> LSH -> SimHash confirm -> CC -> actions) over the documents
+corpus rechunked into multi-turn transcripts; supporting queries cover the
+relational operator families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from deduplicate_spark import entry_queries as eq  # noqa: E402
+from deduplicate_spark.config import DedupConfig  # noqa: E402
+from deduplicate_spark.pipeline import run_pipeline  # noqa: E402
+from deduplicate_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full dedup pipeline over a multi-turn transcript corpus
+    cfg = DedupConfig()
+    turns = eq.docs_as_multiturn_transcripts(spark, sf_dir).cache()
+    n_turns = turns.count()  # materialize input outside the timed region
+
+    def flagship() -> None:
+        res = run_pipeline(spark, turns, cfg)
+        extras["dup_convs"] = res.clusters.count()
+        extras["n_actions"] = res.actions.count()
+
+    timed("dedup_pipeline", flagship)
+    extras["n_turns"] = n_turns
+    extras["turns_per_sec"] = round(n_turns / timings["dedup_pipeline"], 1)
+
+    # substring pass (separately - it is config-gated)
+    def substr() -> None:
+        from deduplicate_spark.operators.assembly import assemble_docs
+        from deduplicate_spark.operators.substring import substring_pairs
+
+        scfg = DedupConfig(enable_substring_pass=True)
+        docs = assemble_docs(eq.docs_as_transcripts(spark, sf_dir), scfg)
+        substring_pairs(docs, scfg).count()
+
+    timed("substring_pass", substr)
+
+    # relational operator families
+    timed("exact_clusters", lambda: eq.q_g1_exact_clusters(spark, sf_dir).count())
+    timed("assembly_events", lambda: eq.q_stage0_assemble(spark, sf_dir).count())
+    timed(
+        "collision_semi_join",
+        lambda: eq.q_j1_semi_join_collisions(spark, sf_dir).count(),
+    )
+    timed(
+        "canonical_election",
+        lambda: eq.q_o1_canonical_election(spark, sf_dir).count(),
+    )
+    timed(
+        "ngram_jaccard_pairs",
+        lambda: eq.q_dd_ngram_jaccard_pairs(spark, sf_dir).count(),
+    )
+    timed("ann_cosine_topk", lambda: eq.q_ann_cosine_topk(spark, sf_dir).count())
+    timed("token_count", lambda: eq.q_tx_token_count(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **{k: v for k, v in extras.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,42 @@ def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_as_multiturn_transcripts(
+    spark: SparkSession, sf_dir: str, words_per_turn: int = 12, replicate: int = 1
+) -> DataFrame:
+    """Documents chunked into ~words_per_turn-word turns — a deterministic
+    multi-turn transcript corpus whose size scales with the sf dir. With
+    ``replicate`` > 1, each doc is cloned under distinct conv_ids (text
+    unchanged -> planted exact duplicates), scaling corpus AND dup volume
+    for throughput runs. All native (split + slice + posexplode)."""
+    docs = _t(spark, sf_dir, "documents")
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).select(F.col("id").alias("rep"))
+        ).select(
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("rep")).alias("doc_key"),
+            "text",
+        )
+    else:
+        docs = docs.select(F.col("doc_id").cast("string").alias("doc_key"), "text")
+    w = words_per_turn
+    chunks = (
+        f"transform(sequence(0, greatest(cast(ceil(size(split(trim(text), '\\\\s+')) / {w}.0) as int) - 1, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * {w} + 1, {w})))"
+    )
+    return docs.select(
+        F.col("doc_key").alias("conv_id"),
+        F.posexplode(F.expr(chunks)).alias("turn_idx", "text"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
 # --------------------------------------------------------------------------
 # S1/A4 stage-0 assembly analog over events: conversation per user, turns
 # ordered by (ts, event_id)   [SURVEY S1; dupe_analysis.py:160-232]
@@ -340,10 +376,14 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# Dedup: word-3-gram Jaccard near-dup pairs (native arrays both engines)
+# Dedup: word-3-gram Jaccard near-dup pairs (native arrays both engines).
+# Candidate prefilter is an EQUI-join on length buckets — each doc emits
+# buckets {b, b+1} (b = n_chars div 64), so same-or-adjacent-bucket pairs
+# collide on a shared key. An inequality-only |len diff| predicate would
+# force a broadcast-nested-loop O(n^2) join — unusable at scale.
 # --------------------------------------------------------------------------
 _JACCARD_THRESHOLD = 0.6
-_LEN_BAND = 0.2  # candidate prefilter: |len diff| <= 20% (cascade semantics)
+_LEN_BUCKET = 64
 
 
 def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,16 +398,18 @@ def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grams"),
     )
-    l = grams.alias("l")
-    r = grams.alias("r")
-    joined = l.join(
-        r,
-        (F.col("l.doc_id") < F.col("r.doc_id"))
-        & (
-            F.abs(F.col("l.n_chars") - F.col("r.n_chars"))
-            <= F.least(F.col("l.n_chars"), F.col("r.n_chars")) * _LEN_BAND
-        ),
+    bucketed = grams.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("n_chars") / _LEN_BUCKET).cast("long"),
+                (F.col("n_chars") / _LEN_BUCKET).cast("long") + 1,
+            )
+        ).alias("bucket"),
     )
+    l = bucketed.alias("l")
+    r = bucketed.alias("r")
+    joined = l.join(r, "bucket").filter(F.col("l.doc_id") < F.col("r.doc_id"))
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
     uni = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
     return (
@@ -378,6 +420,7 @@ def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_j") >= _JACCARD_THRESHOLD)
         .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -388,12 +431,15 @@ WITH grams AS (
            range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
            i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i+1:i+3], ' ')
          )) AS grams
-  FROM documents)
-SELECT l.doc_id AS a, r.doc_id AS b
-FROM grams l JOIN grams r
-  ON l.doc_id < r.doc_id
- AND abs(l.n_chars - r.n_chars) <= least(l.n_chars, r.n_chars) * {_LEN_BAND}
-WHERE len(list_intersect(l.grams, r.grams)) * 1.0
+  FROM documents),
+bucketed AS (
+  SELECT g.*, u.bucket
+  FROM grams g,
+       unnest([n_chars // {_LEN_BUCKET}, n_chars // {_LEN_BUCKET} + 1]) AS u(bucket))
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bucketed l JOIN bucketed r USING (bucket)
+WHERE l.doc_id < r.doc_id
+  AND len(list_intersect(l.grams, r.grams)) * 1.0
       / len(list_distinct(list_concat(l.grams, r.grams))) >= {_JACCARD_THRESHOLD}
 """
 

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline; broadcast the query set,
+    native zip_with/aggregate dot products, window top-k. O(N*Q) but fully
+    JVM-side and embarrassingly parallel: correct choice when Q is small.
+  * LSH-bucketed ANN (random hyperplane / SRP) — the scale path: docs and
+    queries hash to sign-pattern buckets; candidates = bucket collisions
+    across any of ``n_tables`` hash tables; exact cosine re-rank on
+    candidates only. Sub-linear candidate volume at 100 TB scale, tunable
+    recall via (n_tables, n_bits).
+
+The hyperplane projection is a vectorized pandas UDF (numpy matmul over
+Arrow batches); everything relational stays native.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Native cosine similarity between two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    vectors(id_col, vec_col) x queries(query_id_col, vec_col) ->
+    (q_id, neighbor_id, cosine, rnk). Queries are broadcast — the big side
+    never shuffles."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "neighbor_id",
+        cosine_sim(F.col("_q"), F.col("_v")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def srp_signatures(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection bucket keys: one row per (id, table,
+    bucket). Hyperplanes are derived deterministically from the seed inside
+    each task (no broadcast needed)."""
+
+    def kernel(batches):
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables * n_bits, dim)).astype(np.float64)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # (batch, dim)
+            signs = (mat @ planes.T) > 0  # (batch, n_tables*n_bits)
+            signs = signs.reshape(len(pdf), n_tables, n_bits)
+            buckets = (signs * weights).sum(axis=2)  # (batch, n_tables)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {"vid": ids, "table_id": tables, "bucket": buckets.ravel()}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        kernel, f"vid long, table_id int, bucket long"
+    )
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket join -> exact cosine re-rank.
+
+    Recall rises with n_tables (union of candidates across tables) and
+    falls with n_bits (finer buckets, fewer candidates). The bucket join
+    shuffles on (table_id, bucket) — the A1-style collision prefilter of
+    the dedup cascade, reused for vectors."""
+    v_sig = srp_signatures(vectors, dim, n_tables, n_bits, id_col, vec_col, seed)
+    q_sig = srp_signatures(queries, dim, n_tables, n_bits, query_id_col, vec_col, seed)
+
+    cand = (
+        v_sig.alias("v")
+        .join(q_sig.alias("q"), ["table_id", "bucket"])
+        .select(
+            F.col("q.vid").alias("q_id"),
+            F.col("v.vid").alias("neighbor_id"),
+        )
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "neighbor_id", cosine_sim(F.col("_q"), F.col("_v")).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold) —
+    the semantic-dedup edge source, LSH-bucketed so it never goes O(N^2)."""
+    sig = srp_signatures(vectors, dim, n_tables, n_bits, id_col, vec_col, seed)
+    cand = (
+        sig.alias("l")
+        .join(sig.alias("r"), ["table_id", "bucket"])
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    return (
+        cand.join(v.select(F.col(id_col).alias("a"), F.col("_v").alias("_va")), "a")
+        .join(v.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb")), "b")
+        .select("a", "b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,109 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.pipeline import run_pipeline
+from deduplicate_spark.sources.checkpoint import CheckpointStore, merge_runs
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CheckpointStore(
+        spark=spark,
+        root=str(tmp_path / "ckpt"),
+        config_hash=DedupConfig().config_hash(),
+        input_key="test-input",
+    )
+
+
+def test_stage_roundtrip_and_reuse(spark, store):
+    df = spark.range(10).select(F.col("id").cast("string").alias("conv_id"))
+    out = store.stage("docs", df)
+    assert out.count() == 10
+    assert store.is_complete("docs")
+    # reuse path: stage() must read back, not recompute
+    out2 = store.stage("docs", spark.range(999).selectExpr("cast(id as string) conv_id"))
+    assert out2.count() == 10  # the checkpointed data, not the new df
+    assert any(m.get("reused") for m in store.metrics)
+
+
+def test_config_change_invalidates(spark, store, tmp_path):
+    df = spark.range(5).selectExpr("cast(id as string) conv_id")
+    store.stage("docs", df)
+    other = CheckpointStore(
+        spark=spark,
+        root=store.root,
+        config_hash="different-config",
+        input_key="test-input",
+    )
+    assert not other.is_complete("docs")
+
+
+def test_input_change_invalidates(spark, store):
+    df = spark.range(5).selectExpr("cast(id as string) conv_id")
+    store.stage("docs", df)
+    other = CheckpointStore(
+        spark=spark,
+        root=store.root,
+        config_hash=store.config_hash,
+        input_key="other-input",
+    )
+    assert not other.is_complete("docs")
+
+
+def test_lineage_written(spark, store):
+    df = spark.range(7).selectExpr("cast(id as string) conv_id")
+    store.stage("docs", df)
+    with open(os.path.join(store.root, "docs", "_lineage.json")) as fh:
+        lineage = json.load(fh)
+    assert lineage["rows"] == 7
+    assert lineage["config_hash"] == store.config_hash
+    assert "partitions" in lineage and "wall_sec" in lineage
+
+
+def test_resume_equals_clean_run(spark, turns_df, tmp_path):
+    """Kill-after-stage-k resume == clean run (the reference's merge/resume
+    contract, test_db_merge analog)."""
+    cfg = DedupConfig(exclude_roles=("system",))
+    clean = run_pipeline(spark, turns_df, cfg)
+    clean_clusters = {
+        (r["conv_id"], r["cluster_id"]) for r in clean.clusters.collect()
+    }
+
+    store = CheckpointStore(
+        spark=spark,
+        root=str(tmp_path / "resume"),
+        config_hash=cfg.config_hash(),
+        input_key="corpus",
+    )
+    # first run materializes all stages
+    run_pipeline(spark, turns_df, cfg, store=store)
+    # resumed run must reuse every stage and produce identical clusters
+    store2 = CheckpointStore(
+        spark=spark,
+        root=store.root,
+        config_hash=cfg.config_hash(),
+        input_key="corpus",
+    )
+    resumed = run_pipeline(spark, turns_df, cfg, store=store2)
+    resumed_clusters = {
+        (r["conv_id"], r["cluster_id"]) for r in resumed.clusters.collect()
+    }
+    assert resumed_clusters == clean_clusters
+    reused = [m["stage"] for m in store2.metrics if m.get("reused")]
+    assert "docs" in reused and "signatures" in reused and "pairs" in reused
+
+
+def test_merge_runs_first_writer_wins(spark, tmp_path):
+    s1 = CheckpointStore(spark, str(tmp_path / "r1"), "cfg", "in1")
+    s2 = CheckpointStore(spark, str(tmp_path / "r2"), "cfg", "in2")
+    s1.stage("docs", spark.createDataFrame([("a", 1), ("b", 1)], "conv_id string, v int"))
+    s2.stage("docs", spark.createDataFrame([("b", 2), ("c", 2)], "conv_id string, v int"))
+    merged = merge_runs(spark, [s1, s2], "docs")
+    assert merged.count() == 3
+    assert merged.select("conv_id").distinct().count() == 3
