@@ -40,20 +40,33 @@ def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_as_multiturn_transcripts(
-    spark: SparkSession, sf_dir: str, words_per_turn: int = 12, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    words_per_turn: int = 12,
+    replicate: int = 1,
+    mutate: bool = False,
 ) -> DataFrame:
     """Documents chunked into ~words_per_turn-word turns — a deterministic
     multi-turn transcript corpus whose size scales with the sf dir. With
-    ``replicate`` > 1, each doc is cloned under distinct conv_ids (text
-    unchanged -> planted exact duplicates), scaling corpus AND dup volume
-    for throughput runs. All native (split + slice + posexplode)."""
+    ``replicate`` > 1, each doc is cloned under distinct conv_ids: exact
+    copies by default (planted exact duplicates, exercising the cascade's
+    dedup-before-kernel fast path), or with ``mutate=True`` each replica
+    gets a per-replica token salt (planted NEAR duplicates, every doc
+    unique -> the full MinHash kernel runs on all of them; use this for
+    compute-bound scaling runs). All native (split + slice + posexplode)."""
     docs = _t(spark, sf_dir, "documents")
     if replicate > 1:
         docs = docs.crossJoin(
             spark.range(replicate).select(F.col("id").alias("rep"))
         ).select(
             F.concat_ws("#", F.col("doc_id").cast("string"), F.col("rep")).alias("doc_key"),
-            "text",
+            (
+                F.when(
+                    F.lit(mutate) & (F.col("rep") > 0),
+                    F.concat_ws(" ", "text", F.concat(F.lit("varianttok"), F.col("rep"))),
+                ).otherwise(F.col("text"))
+            ).alias("text"),
+            "rep",
         )
     else:
         docs = docs.select(F.col("doc_id").cast("string").alias("doc_key"), "text")
@@ -325,6 +338,47 @@ WHERE source NOT IN ('src0') AND lang != 'zh'
 
 
 # --------------------------------------------------------------------------
+# A3/A4 hierarchical rollup [deduplicate.py:133-200]: stats per prefix of a
+# synthesized source/lang/doc hierarchy, all depths in one shuffle
+# --------------------------------------------------------------------------
+def q_a4_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "/", "source", "lang", F.col("doc_id").cast("string")
+        ).alias("conv_id"),
+        F.col("n_chars").cast("long").alias("total_len"),
+    )
+    from deduplicate_spark.operators.rollup import prefix_explode
+
+    return (
+        prefix_explode(docs)
+        .groupBy("group_prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("total_len").cast("long").alias("total_len_sum"),
+        )
+    )
+
+
+SQL_A4 = """
+WITH base AS (
+  SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(n_chars AS BIGINT) AS total_len
+  FROM documents),
+exploded AS (
+  SELECT b.total_len, u.group_prefix
+  FROM base b,
+       unnest(list_transform(
+         range(1, greatest(len(string_split(b.conv_id, '/')) - 1, 1) + 1),
+         n -> array_to_string(string_split(b.conv_id, '/')[1:n], '/')
+       )) AS u(group_prefix))
+SELECT group_prefix, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(total_len) AS BIGINT) AS total_len_sum
+FROM exploded GROUP BY group_prefix
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis: token count  (training-data pipeline op)
 # --------------------------------------------------------------------------
 def q_tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,20 +431,20 @@ FROM documents
 
 # --------------------------------------------------------------------------
 # Dedup: word-3-gram Jaccard near-dup pairs (native arrays both engines).
-# Candidate prefilter is an EQUI-join on length buckets — each doc emits
-# buckets {b, b+1} (b = n_chars div 64), so same-or-adjacent-bucket pairs
-# collide on a shared key. An inequality-only |len diff| predicate would
-# force a broadcast-nested-loop O(n^2) join — unusable at scale.
+# Candidate prefilter: each doc publishes its K lexicographically-smallest
+# gram md5s (a deterministic MinHash); candidates = docs sharing any
+# published key (equi-join). P(miss a true J>=0.6 pair) = (1-J)^K < 1e-3 at
+# K=8. Both the old inequality join (BNL, O(n^2)) and length-bucketing
+# (near-quadratic within buckets) die at scale; this stays ~linear.
 # --------------------------------------------------------------------------
 _JACCARD_THRESHOLD = 0.6
-_LEN_BUCKET = 64
+_MINGRAM_K = 8
 
 
 def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_chars").cast("long").alias("n_chars"),
         F.array_distinct(
             F.expr(
                 "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, 0)), "
@@ -398,49 +452,60 @@ def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grams"),
     )
-    bucketed = grams.select(
-        "*",
+    keyed = grams.select(
+        "doc_id",
+        "grams",
         F.explode(
-            F.array(
-                (F.col("n_chars") / _LEN_BUCKET).cast("long"),
-                (F.col("n_chars") / _LEN_BUCKET).cast("long") + 1,
+            F.slice(
+                F.array_sort(F.transform("grams", lambda g: F.md5(g))),
+                1,
+                _MINGRAM_K,
             )
-        ).alias("bucket"),
+        ).alias("min_gram"),
     )
-    l = bucketed.alias("l")
-    r = bucketed.alias("r")
-    joined = l.join(r, "bucket").filter(F.col("l.doc_id") < F.col("r.doc_id"))
-    inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
-    uni = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
-    return (
-        joined.select(
+    l = keyed.alias("l")
+    r = keyed.alias("r")
+    cand = (
+        l.join(r, "min_gram")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),
-            (inter / uni).alias("_j"),
+            F.col("l.grams").alias("grams_a"),
+            F.col("r.grams").alias("grams_b"),
         )
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    uni = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        cand.withColumn("_j", inter / uni)
         .filter(F.col("_j") >= _JACCARD_THRESHOLD)
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
 
 
 SQL_DD_NGRAM = rf"""
 WITH grams AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_distinct(list_transform(
            range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
            i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i+1:i+3], ' ')
          )) AS grams
   FROM documents),
-bucketed AS (
-  SELECT g.*, u.bucket
+keyed AS (
+  SELECT g.doc_id, g.grams, u.min_gram
   FROM grams g,
-       unnest([n_chars // {_LEN_BUCKET}, n_chars // {_LEN_BUCKET} + 1]) AS u(bucket))
-SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM bucketed l JOIN bucketed r USING (bucket)
-WHERE l.doc_id < r.doc_id
-  AND len(list_intersect(l.grams, r.grams)) * 1.0
-      / len(list_distinct(list_concat(l.grams, r.grams))) >= {_JACCARD_THRESHOLD}
+       unnest(list_sort(list_transform(g.grams, x -> md5(x)))[1:{_MINGRAM_K}]) AS u(min_gram)),
+cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         first(l.grams) AS grams_a, first(r.grams) AS grams_b
+  FROM keyed l JOIN keyed r USING (min_gram)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT a, b FROM cand
+WHERE len(list_intersect(grams_a, grams_b)) * 1.0
+      / len(list_distinct(list_concat(grams_a, grams_b))) >= {_JACCARD_THRESHOLD}
 """
 
 
@@ -564,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_exact_clusters": q_g1_exact_clusters,
         "j4_union_dedup_merge": q_j4_union_dedup_merge,
         "o1_canonical_election": q_o1_canonical_election,
+        "a4_group_rollup": q_a4_group_rollup,
         "o3_topk_per_group": q_o3_topk_per_group,
         "f1_exclude_filter": q_f1_exclude_filter,
         "tx_token_count": q_tx_token_count,
@@ -588,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "g1_exact_clusters": SQL_G1,
         "j4_union_dedup_merge": SQL_J4,
         "o1_canonical_election": SQL_O1,
+        "a4_group_rollup": SQL_A4,
         "o3_topk_per_group": SQL_O3,
         "f1_exclude_filter": SQL_F1,
         "tx_token_count": SQL_TX_TOKENS,

@@ -44,28 +44,28 @@ def connected_components(
     )
 
     for round_no in range(max_rounds):
-        # propagate: each node offers its label to every neighbor
+        # propagate: each node offers its label to every neighbor. Self rows
+        # are tagged so one aggregation yields both the new label (min over
+        # offers + self) and the old label (the unique self row) — the
+        # convergence check costs no extra join.
         offers = (
             sym.join(labels, sym.src == labels.conv_id, "inner")
-            .select(F.col("dst").alias("conv_id"), "label")
+            .select(F.col("dst").alias("conv_id"), "label", F.lit(False).alias("is_self"))
         )
-        new_labels = (
-            labels.select("conv_id", "label")
+        merged = (
+            labels.select("conv_id", "label", F.lit(True).alias("is_self"))
             .unionByName(offers)
             .groupBy("conv_id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias("_old"),
+            )
         )
         if checkpoint_every and round_no % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=True)
 
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "conv_id")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = merged.select("conv_id", "label")
         if changed == 0:
             break
     else:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from deduplicate_spark.config import DedupConfig
 
 ALLPAIRS_MAX_DEFAULT = 64
+COLLECT_CAP = 10_000  # buckets beyond this never materialize a member array
 
 
 def band_buckets(signatures: DataFrame, config: DedupConfig | None = None) -> DataFrame:
@@ -52,12 +53,23 @@ def candidate_pairs(
     config: DedupConfig | None = None,
     allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
 ) -> DataFrame:
-    """LSH candidate edge list (a, b, evidence='lsh'), a < b, deduped."""
+    """LSH candidate edge list (a, b, evidence='lsh'), a < b, deduped.
+
+    Pair-volume control (the difference between 20 M and 600 k shuffled
+    rows on a 16x-near-dup corpus): buckets are collapsed to their sorted
+    member list per (band, bucket), then DEDUPED ACROSS BANDS by member-set
+    hash — near-identical docs agree on most of their b bands, so the same
+    member set would otherwise explode into the same pairs b times. Pair
+    expansion is a native nested-transform over the (deduped) member
+    arrays; only then does the final pair-level dropDuplicates run.
+    """
     config = config or DedupConfig()
     buckets = band_buckets(signatures, config)
 
+    # one shuffle on (band_id, band_hash); the groupBy below reuses this
+    # exchange (same keys), so tagging + collecting is still one shuffle
     w = Window.partitionBy("band_id", "band_hash")
-    annotated = buckets.select(
+    tagged = buckets.select(
         "conv_id",
         "band_id",
         "band_hash",
@@ -65,22 +77,50 @@ def candidate_pairs(
         F.min("conv_id").over(w).alias("bucket_rep"),
     ).filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
 
-    small = annotated.filter(F.col("bucket_n") <= allpairs_max)
-    large = annotated.filter(F.col("bucket_n") > allpairs_max)
+    # skew guard: never collect_list a mega-bucket (boilerplate content can
+    # put millions of docs in one bucket) — emit star edges row-wise instead
+    huge_pairs = (
+        tagged.filter(F.col("bucket_n") > COLLECT_CAP)
+        .filter(F.col("conv_id") != F.col("bucket_rep"))
+        .select(F.col("bucket_rep").alias("a"), F.col("conv_id").alias("b"))
+    )
 
-    # small buckets: all-pairs within bucket (reference clique semantics, J2)
-    l = small.select("band_id", "band_hash", F.col("conv_id").alias("a"))
-    r = small.select("band_id", "band_hash", F.col("conv_id").alias("b"))
-    small_pairs = l.join(r, ["band_id", "band_hash"]).filter(F.col("a") < F.col("b"))
+    members = (
+        tagged.filter(F.col("bucket_n") <= COLLECT_CAP)
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.sort_array(F.collect_list("conv_id")).alias("members"),
+            F.max("bucket_n").alias("bucket_n"),
+        )
+        # across-band dedup: one row per distinct member set
+        .dropDuplicates(["members"])
+        .localCheckpoint(eager=False)
+    )
 
-    # large buckets: star edges to the bucket representative (O(n), CC-sufficient)
-    large_pairs = large.filter(F.col("conv_id") != F.col("bucket_rep")).select(
-        F.col("bucket_rep").alias("a"), F.col("conv_id").alias("b")
+    small = members.filter(F.col("bucket_n") <= allpairs_max)
+    large = members.filter(F.col("bucket_n") > allpairs_max)
+
+    # small buckets: all-pairs within bucket (reference clique semantics,
+    # J2) via nested transform — no self-join, no window
+    small_pairs = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                "transform(slice(members, i + 2, size(members) - i - 1), "
+                "y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+
+    # large buckets: star edges to the bucket minimum (O(n), CC-sufficient)
+    large_pairs = large.select(
+        F.col("members")[0].alias("a"),
+        F.explode(F.expr("slice(members, 2, size(members) - 1)")).alias("b"),
     )
 
     return (
-        small_pairs.select("a", "b")
-        .unionByName(large_pairs)
+        small_pairs.unionByName(large_pairs)
+        .unionByName(huge_pairs)
         .dropDuplicates(["a", "b"])
         .withColumn("evidence", F.lit("lsh"))
     )

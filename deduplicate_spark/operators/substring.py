@@ -179,12 +179,16 @@ def substring_pairs(
     fps = doc_fingerprints(docs, config)
 
     w = Window.partitionBy("fp")
-    annotated = fps.select(
-        "conv_id",
-        "fp",
-        F.count(F.lit(1)).over(w).alias("bucket_n"),
-        F.min("conv_id").over(w).alias("bucket_rep"),
-    ).filter(F.col("bucket_n") > 1)
+    annotated = (
+        fps.select(
+            "conv_id",
+            "fp",
+            F.count(F.lit(1)).over(w).alias("bucket_n"),
+            F.min("conv_id").over(w).alias("bucket_rep"),
+        )
+        .filter(F.col("bucket_n") > 1)
+        .localCheckpoint(eager=False)  # consumed by both small and large branches
+    )
 
     small = annotated.filter(F.col("bucket_n") <= allpairs_max)
     l = small.select("fp", F.col("conv_id").alias("a"))
