@@ -24,20 +24,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def elect_canonical(clusters: DataFrame, docs: DataFrame) -> DataFrame:
-    """clusters(conv_id, cluster_id) x docs -> + canonical_conv_id."""
-    ranked = (
-        clusters.join(docs.select("conv_id", "n_turns", "total_len"), "conv_id", "left")
-        .withColumn(
-            "_rank",
-            F.row_number().over(
-                Window.partitionBy("cluster_id").orderBy(
-                    F.desc_nulls_last("n_turns"),
-                    F.desc_nulls_last("total_len"),
-                    F.asc("conv_id"),
-                )
-            ),
+def elect_canonical(
+    clusters: DataFrame, docs: DataFrame, policy: str = "doc"
+) -> DataFrame:
+    """clusters(conv_id, cluster_id) x docs -> + canonical_conv_id.
+
+    policy='doc'   — rank by (n_turns desc, total_len desc, conv_id asc).
+    policy='group' — first prefer the source group (first '/'-segment of
+        conv_id) holding the most members of this cluster, then the doc
+        ranking. This reproduces the reference's greedy preference for the
+        "superset" directory: the dir containing the most duplicates is
+        kept whole (calc_max sorts by kept/extra/count totals,
+        deduplicate.py:298-309; check_largest 325-344)."""
+    ranked = clusters.join(
+        docs.select("conv_id", "n_turns", "total_len"), "conv_id", "left"
+    )
+    order = [
+        F.desc_nulls_last("n_turns"),
+        F.desc_nulls_last("total_len"),
+        F.asc("conv_id"),
+    ]
+    if policy == "group":
+        ranked = ranked.withColumn(
+            "_grp", F.split(F.col("conv_id"), "/").getItem(0)
+        ).withColumn(
+            "_grp_n",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id", "_grp")),
         )
+        order = [F.desc("_grp_n"), *order]
+    ranked = ranked.withColumn(
+        "_rank",
+        F.row_number().over(Window.partitionBy("cluster_id").orderBy(*order)),
     )
     canon = ranked.filter(F.col("_rank") == 1).select(
         "cluster_id", F.col("conv_id").alias("canonical_conv_id")
@@ -47,11 +64,11 @@ def elect_canonical(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def actions(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+def actions(clusters: DataFrame, docs: DataFrame, policy: str = "doc") -> DataFrame:
     """(conv_id, cluster_id, canonical_conv_id, action, freed_len) — the
     keep-one-delete-rest recommendation (G2 state machine, derived not
     mutated)."""
-    elected = elect_canonical(clusters, docs)
+    elected = elect_canonical(clusters, docs, policy=policy)
     return elected.select(
         "conv_id",
         "cluster_id",
