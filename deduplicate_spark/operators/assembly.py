@@ -86,6 +86,35 @@ def assemble_docs(turns: DataFrame, config: DedupConfig | None = None) -> DataFr
     )
 
 
+def empty_conversations(turns: DataFrame, config: DedupConfig | None = None) -> DataFrame:
+    """G6 analog (deduplicate.py:533-537; dupe_analysis.py:636-638): the
+    reference injects empty dirs as deletable objects. Here: conv_ids whose
+    rows are ALL excluded or all-blank — they produce no dedup cluster but
+    must still surface in reports as droppable. Returns (conv_id, reason)."""
+    config = config or DedupConfig()
+    all_ids = turns.select("conv_id").distinct()
+    surviving = apply_excludes(turns, config).select("conv_id").distinct()
+    fully_excluded = all_ids.join(surviving, "conv_id", "left_anti").select(
+        "conv_id", F.lit("all_rows_excluded").alias("reason")
+    )
+    blank = (
+        apply_excludes(turns, config)
+        .groupBy("conv_id")
+        .agg(F.max(F.length(F.trim(F.coalesce("text", F.lit(""))))).alias("_max_len"))
+        .filter(F.col("_max_len") == 0)
+        .select("conv_id", F.lit("all_turns_blank").alias("reason"))
+    )
+    return fully_excluded.unionByName(blank)
+
+
+def debug_dump(docs: DataFrame) -> DataFrame:
+    """S11 analog (dupe_analysis.py:504-530): deterministic ordered dump of
+    the docs table for golden-test support."""
+    return docs.orderBy("conv_id").select(
+        "conv_id", "n_turns", "total_len", "prefix_sha", "exact_sha"
+    )
+
+
 def turns_roundtrip_check(turns: DataFrame, docs: DataFrame, config: DedupConfig) -> int:
     """Invariant check: every (conv_id, turn_idx) text survives assembly in
     order. Returns the number of violating conversations (0 == pass)."""

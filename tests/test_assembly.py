@@ -81,3 +81,33 @@ def test_assembly_single_shuffle(spark):
     )
     plan = assemble_docs(turns)._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("exchange") <= 1
+
+
+def test_empty_conversations(spark):
+    from deduplicate_spark.operators.assembly import empty_conversations
+
+    turns = spark.createDataFrame(
+        [
+            ("keep", 0, "user", "real text", "", None),
+            ("excl", 0, "system", "only excluded rows", "", None),
+            ("blank", 0, "user", "   ", "", None),
+            ("blank", 1, "user", "", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from deduplicate_spark.config import DedupConfig
+
+    cfg = DedupConfig(exclude_roles=("system",))
+    got = {(r["conv_id"], r["reason"]) for r in empty_conversations(turns, cfg).collect()}
+    assert got == {("excl", "all_rows_excluded"), ("blank", "all_turns_blank")}
+
+
+def test_debug_dump_ordered(spark):
+    from deduplicate_spark.operators.assembly import assemble_docs, debug_dump
+
+    turns = spark.createDataFrame(
+        [("b", 0, "user", "bb", "", None), ("a", 0, "user", "aa", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = debug_dump(assemble_docs(turns)).collect()
+    assert [r["conv_id"] for r in rows] == ["a", "b"]
