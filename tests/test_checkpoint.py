@@ -107,3 +107,29 @@ def test_merge_runs_first_writer_wins(spark, tmp_path):
     merged = merge_runs(spark, [s1, s2], "docs")
     assert merged.count() == 3
     assert merged.select("conv_id").distinct().count() == 3
+
+
+def test_reuse_planner(spark, tmp_path):
+    """S7 analog: second request over {b1, b2, b3} reuses b1/b2 stage
+    outputs and computes only b3."""
+    from deduplicate_spark.sources.reuse import plan_and_load
+
+    root = str(tmp_path / "batches")
+
+    def compute(df):
+        return df.withColumn("doubled", F.col("v") * 2)
+
+    b1 = spark.createDataFrame([("a", 1)], "conv_id string, v int")
+    b2 = spark.createDataFrame([("b", 2)], "conv_id string, v int")
+    out1, plan1 = plan_and_load(spark, root, "cfg", "docs", {"b1": b1, "b2": b2}, compute)
+    assert plan1.computed == ["b1", "b2"] and plan1.reused == []
+    assert out1.count() == 2
+
+    b3 = spark.createDataFrame([("c", 3)], "conv_id string, v int")
+    out2, plan2 = plan_and_load(
+        spark, root, "cfg", "docs", {"b1": None, "b2": None, "b3": b3}, compute
+    )
+    assert plan2.reused == ["b1", "b2"]
+    assert plan2.computed == ["b3"]
+    assert out2.count() == 3
+    assert {r["doubled"] for r in out2.collect()} == {2, 4, 6}
