@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 
-ALLPAIRS_MAX_DEFAULT = 64
+# all-pairs ceiling: a bucket of n docs costs n(n-1)/2 pairs; above this,
+# star edges give the same CC connectivity at O(n). 16 keeps the worst
+# per-bucket expansion at 120 pairs while cliques of real near-dups are
+# still confirmed pairwise. (measured: at 64 this was 45% of pipeline wall
+# on a 64-variant corpus; at 16 the pair volume is near-linear)
+ALLPAIRS_MAX_DEFAULT = 16
 COLLECT_CAP = 10_000  # buckets beyond this never materialize a member array
 
 

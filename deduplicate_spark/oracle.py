@@ -110,27 +110,37 @@ def oracle_dup_pairs(
         for band in range(config.lsh_bands):
             key = (band, sig[band * r : (band + 1) * r].tobytes())
             buckets[key].append(conv_id)
+    from deduplicate_spark.operators.lsh import ALLPAIRS_MAX_DEFAULT
+
     seen: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:
             continue
         members = sorted(members)
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pair = (members[i], members[j])
-                if pair in seen:
-                    continue
-                seen.add(pair)
-                if not config.complete_hash:
-                    if config.confirm_with_simhash:
-                        ham = bin(sims[pair[0]] ^ sims[pair[1]]).count("1")
-                        if ham > config.simhash_hamming_max:
-                            continue
-                    if config.min_jaccard is not None:
-                        est = float((sigs[pair[0]] == sigs[pair[1]]).mean())
-                        if est < config.min_jaccard:
-                            continue
-                uf.union(*pair)
+        if len(members) > ALLPAIRS_MAX_DEFAULT:
+            # star edges to the bucket minimum (mirrors lsh.candidate_pairs)
+            candidate_iter = [(0, j) for j in range(1, len(members))]
+        else:
+            candidate_iter = [
+                (i, j)
+                for i in range(len(members))
+                for j in range(i + 1, len(members))
+            ]
+        for i, j in candidate_iter:
+            pair = (members[i], members[j])
+            if pair in seen:
+                continue
+            seen.add(pair)
+            if not config.complete_hash:
+                if config.confirm_with_simhash:
+                    ham = bin(sims[pair[0]] ^ sims[pair[1]]).count("1")
+                    if ham > config.simhash_hamming_max:
+                        continue
+                if config.min_jaccard is not None:
+                    est = float((sigs[pair[0]] == sigs[pair[1]]).mean())
+                    if est < config.min_jaccard:
+                        continue
+            uf.union(*pair)
 
     if config.enable_substring_pass:
         fps = {
