@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 30,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
+    min_rounds: int = 2,
 ) -> DataFrame:
     """edges(a, b) -> (conv_id, cluster_id); only nodes that appear in an
     edge are returned (singletons are not duplicates — reference reports
@@ -61,10 +62,16 @@ def connected_components(
                 F.min(F.when(F.col("is_self"), F.col("label"))).alias("_old"),
             )
         )
-        if checkpoint_every and round_no % checkpoint_every == 0:
+        if checkpoint_every and round_no % checkpoint_every == checkpoint_every - 1:
             merged = merged.localCheckpoint(eager=True)
 
-        changed = merged.filter(F.col("label") != F.col("_old")).limit(1).count()
+        # dedup graphs converge in 2-3 rounds (star-shaped components);
+        # skip the convergence-count job for the first min_rounds - 1
+        # rounds — they cannot have converged yet anyway
+        if round_no >= min_rounds - 1:
+            changed = merged.filter(F.col("label") != F.col("_old")).limit(1).count()
+        else:
+            changed = -1
         labels = merged.select("conv_id", "label")
         if changed == 0:
             break
