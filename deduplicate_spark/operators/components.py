@@ -23,19 +23,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 30,
     checkpoint_every: int = 2,
     min_rounds: int = 2,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(a, b) -> (conv_id, cluster_id); only nodes that appear in an
     edge are returned (singletons are not duplicates — reference reports
     count>1 groups only).
     """
+    pairs = edges.select("a", "b").dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+
+    # small-edge fast path: confirmed dup edges are a tiny fraction of the
+    # corpus (the cascade's whole point); below the threshold an exact
+    # union-find on the driver beats O(diameter) distributed rounds. The
+    # classic treeAggregate-style "small data finishes on the driver"
+    # pattern — the distributed loop below remains the >threshold path.
+    n_edges = pairs.count()
+    if driver_max_edges and n_edges <= driver_max_edges:
+        return _driver_union_find(pairs)
+
     sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
@@ -81,3 +96,34 @@ def connected_components(
         )
 
     return labels.select("conv_id", F.col("label").alias("cluster_id"))
+
+
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Exact connected components on the driver (min-root union-find) for
+    small edge sets; returns the same (conv_id, cluster_id) shape."""
+    import pandas as pd
+
+    pdf = pairs.toPandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    nodes = list(parent)
+    labels = pd.DataFrame({"conv_id": nodes, "cluster_id": [find(n) for n in nodes]})
+    spark = pairs.sparkSession
+    if labels.empty:
+        return spark.createDataFrame([], "conv_id string, cluster_id string")
+    return spark.createDataFrame(labels)

@@ -31,11 +31,12 @@ def elect_canonical(
 
     policy='doc'   — rank by (n_turns desc, total_len desc, conv_id asc).
     policy='group' — first prefer the source group (first '/'-segment of
-        conv_id) holding the most members of this cluster, then the doc
-        ranking. This reproduces the reference's greedy preference for the
-        "superset" directory: the dir containing the most duplicates is
-        kept whole (calc_max sorts by kept/extra/count totals,
-        deduplicate.py:298-309; check_largest 325-344)."""
+        conv_id) with the most NON-duplicate extras, then the most cluster
+        members, then the doc ranking. This reproduces the reference's
+        greedy "superset directory" preference: a dir holding the dupes
+        PLUS unique extras is kept; its full-dupe mirror is deleted whole
+        (calc_max sorts kept_total/extra_total desc,
+        deduplicate.py:298-309; is_superset flag 133-178)."""
     ranked = clusters.join(
         docs.select("conv_id", "n_turns", "total_len"), "conv_id", "left"
     )
@@ -45,13 +46,28 @@ def elect_canonical(
         F.asc("conv_id"),
     ]
     if policy == "group":
-        ranked = ranked.withColumn(
-            "_grp", F.split(F.col("conv_id"), "/").getItem(0)
-        ).withColumn(
-            "_grp_n",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id", "_grp")),
+        grp_of = lambda c: F.split(F.col(c), "/").getItem(0)  # noqa: E731
+        all_grp = (
+            docs.select(grp_of("conv_id").alias("_grp"))
+            .groupBy("_grp")
+            .agg(F.count(F.lit(1)).alias("_grp_total"))
         )
-        order = [F.desc("_grp_n"), *order]
+        dup_grp = (
+            clusters.select(grp_of("conv_id").alias("_grp"))
+            .groupBy("_grp")
+            .agg(F.count(F.lit(1)).alias("_grp_dups"))
+        )
+        grp_stats = all_grp.join(dup_grp, "_grp", "left").select(
+            "_grp",
+            (F.col("_grp_total") - F.coalesce(F.col("_grp_dups"), F.lit(0))).alias(
+                "_grp_extras"
+            ),
+            F.coalesce(F.col("_grp_dups"), F.lit(0)).alias("_grp_dups"),
+        )
+        ranked = ranked.withColumn("_grp", grp_of("conv_id")).join(
+            F.broadcast(grp_stats), "_grp", "left"
+        )
+        order = [F.desc("_grp_extras"), F.desc("_grp_dups"), *order]
     ranked = ranked.withColumn(
         "_rank",
         F.row_number().over(Window.partitionBy("cluster_id").orderBy(*order)),

@@ -24,9 +24,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
 
+    # shuffle spill dir: RAM-backed tmpfs when available (the local-mode
+    # analog of per-executor NVMe on a real cluster; a single spinning
+    # /tmp serializes every shuffle across all task slots)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
