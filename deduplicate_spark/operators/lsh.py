@@ -69,14 +69,17 @@ def candidate_pairs(
     arrays; only then does the final pair-level dropDuplicates run.
     """
     config = config or DedupConfig()
-    buckets = band_buckets(signatures, config)
+    buckets = band_buckets(signatures, config).select("conv_id", "band_hash")
+    # (band_id is folded into band_hash by the xxhash64; carrying it would
+    # only widen the 32x-exploded shuffle rows)
 
-    # one shuffle on (band_id, band_hash); the groupBy below reuses this
-    # exchange (same keys), so tagging + collecting is still one shuffle
-    w = Window.partitionBy("band_id", "band_hash")
+    # ONE shuffle on band_hash: the window tags bucket size + min, and the
+    # groupBy below reuses the same exchange (identical keys). A two-pass
+    # hash-agg + join-back variant was measured 2x SLOWER here — it shuffles
+    # the 32x-exploded rows twice.
+    w = Window.partitionBy("band_hash")
     tagged = buckets.select(
         "conv_id",
-        "band_id",
         "band_hash",
         F.count(F.lit(1)).over(w).alias("bucket_n"),
         F.min("conv_id").over(w).alias("bucket_rep"),
@@ -92,13 +95,11 @@ def candidate_pairs(
 
     members = (
         tagged.filter(F.col("bucket_n") <= COLLECT_CAP)
-        .groupBy("band_id", "band_hash")
-        .agg(
-            F.sort_array(F.collect_list("conv_id")).alias("members"),
-            F.max("bucket_n").alias("bucket_n"),
-        )
+        .groupBy("band_hash")
+        .agg(F.sort_array(F.collect_list("conv_id")).alias("members"))
         # across-band dedup: one row per distinct member set
         .dropDuplicates(["members"])
+        .withColumn("bucket_n", F.size("members"))
         .localCheckpoint(eager=False)
     )
 
