@@ -71,9 +71,12 @@ def docs_as_multiturn_transcripts(
     else:
         docs = docs.select(F.col("doc_id").cast("string").alias("doc_key"), "text")
     w = words_per_turn
+    # let-binding trick: wrap the split in a 1-element array so the lambda
+    # var w0 is evaluated once per row (the naive form re-splits per chunk)
     chunks = (
-        f"transform(sequence(0, greatest(cast(ceil(size(split(trim(text), '\\\\s+')) / {w}.0) as int) - 1, 0)), "
-        f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * {w} + 1, {w})))"
+        f"transform(array(split(trim(text), '\\\\s+')), w0 -> "
+        f"transform(sequence(0, greatest(cast(ceil(size(w0) / {w}.0) as int) - 1, 0)), "
+        f"i -> concat_ws(' ', slice(w0, i * {w} + 1, {w}))))[0]"
     )
     return docs.select(
         F.col("doc_key").alias("conv_id"),
@@ -442,19 +445,37 @@ _MINGRAM_K = 8
 
 
 def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-based Jaccard: gram ARRAYS never enter a shuffle. Each doc's
+    # distinct grams are hashed to longs and exploded once; candidate pairs
+    # (from the min-gram prefilter) are joined to the exploded table twice
+    # — first on a's doc_id, then on the composite (b, gram_hash), which
+    # distributes hot grams across pairs — and Jaccard falls out of
+    # |A∩B| / (|A| + |B| - |A∩B|). Shuffled rows are 3 longs wide instead
+    # of two whole-document gram arrays.
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        # trigrams via arrays_zip of three shifted slices: every argument is
+        # evaluated ONCE per row. The naive transform(sequence(...), i ->
+        # slice(split(text), ...)) form re-runs the regex split per element
+        # (O(words^2) per doc) — measured 6x slower at sf0.1.
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, 0)), "
-                "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))"
+                "transform(arrays_zip("
+                "slice(split(trim(text), '\\\\s+'), 1, greatest(size(split(trim(text), '\\\\s+')) - 2, 1)), "
+                "slice(split(trim(text), '\\\\s+'), 2, greatest(size(split(trim(text), '\\\\s+')) - 2, 1)), "
+                "slice(split(trim(text), '\\\\s+'), 3, greatest(size(split(trim(text), '\\\\s+')) - 2, 1))), "
+                "s -> concat_ws(' ', s['0'], s['1'], s['2']))"
             )
         ).alias("grams"),
+    ).localCheckpoint(eager=False)  # parsed once; feeds keyed + exploded branches
+    exploded = grams.select(
+        "doc_id",
+        F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("gram_hash"),
     )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     keyed = grams.select(
         "doc_id",
-        "grams",
         F.explode(
             F.slice(
                 F.array_sort(F.transform("grams", lambda g: F.md5(g))),
@@ -468,19 +489,24 @@ def q_dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         l.join(r, "min_gram")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.grams").alias("grams_a"),
-            F.col("r.grams").alias("grams_b"),
-        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
-    uni = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    ga = exploded.select(F.col("doc_id").alias("a"), "gram_hash")
+    gb = exploded.select(F.col("doc_id").alias("b"), "gram_hash")
+    inter = (
+        cand.join(ga, "a")
+        .join(gb, ["b", "gram_hash"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        cand.withColumn("_j", inter / uni)
-        .filter(F.col("_j") >= _JACCARD_THRESHOLD)
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("n_b")), "b")
+        .filter(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= _JACCARD_THRESHOLD
+        )
         .select("a", "b")
     )
 

@@ -23,9 +23,12 @@ def prefix_explode(df: DataFrame, id_col: str = "conv_id") -> DataFrame:
 
     Rows without '/' get the root prefix '' so totals still roll up."""
     parts = F.split(F.col(id_col), "/")
+    # let-binding: bind the split to a lambda var so it's evaluated once
+    # per row instead of once per prefix depth
     prefixes = F.expr(
-        f"transform(sequence(1, greatest(size(split({id_col}, '/')) - 1, 1)), "
-        f"n -> array_join(slice(split({id_col}, '/'), 1, n), '/'))"
+        f"transform(array(split({id_col}, '/')), p0 -> "
+        f"transform(sequence(1, greatest(size(p0) - 1, 1)), "
+        f"n -> array_join(slice(p0, 1, n), '/')))[0]"
     )
     return df.select(
         "*",
