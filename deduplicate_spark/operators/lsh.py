@@ -69,32 +69,58 @@ def candidate_pairs(
     arrays; only then does the final pair-level dropDuplicates run.
     """
     config = config or DedupConfig()
+    collect_cap = config.max_band_bucket or COLLECT_CAP
     buckets = band_buckets(signatures, config).select("conv_id", "band_hash")
     # (band_id is folded into band_hash by the xxhash64; carrying it would
     # only widen the 32x-exploded shuffle rows)
 
-    # ONE shuffle on band_hash: the window tags bucket size + min, and the
-    # groupBy below reuses the same exchange (identical keys). A two-pass
-    # hash-agg + join-back variant was measured 2x SLOWER here — it shuffles
-    # the 32x-exploded rows twice.
-    w = Window.partitionBy("band_hash")
-    tagged = buckets.select(
-        "conv_id",
-        "band_hash",
-        F.count(F.lit(1)).over(w).alias("bucket_n"),
-        F.min("conv_id").over(w).alias("bucket_rep"),
-    ).filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
+    salt_n = config.band_salt_buckets
+    if salt_n and salt_n > 1:
+        # SCALE PATH (default): salted partial aggregation. count/min are
+        # algebraic, so a mega-hot band (boilerplate content at 100 TB) is
+        # first reduced within salt_n independent groups, then combined on
+        # a per-band stats table that is tiny regardless of bucket size.
+        # Rows are tagged by a join-back on band_hash — a sort-merge join
+        # AQE's skewJoin CAN split, unlike a window partition. Costs one
+        # extra shuffle of the exploded rows vs the window form below; the
+        # window form is kept for salt_n<=1 as a small-corpus fast path.
+        partial = (
+            buckets.withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.lit(salt_n)))
+            .groupBy("band_hash", "salt")
+            .agg(F.count(F.lit(1)).alias("pn"), F.min("conv_id").alias("pmin"))
+        )
+        stats = (
+            partial.groupBy("band_hash")
+            .agg(F.sum("pn").alias("bucket_n"), F.min("pmin").alias("bucket_rep"))
+            .filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
+        )
+        tagged = buckets.join(stats, "band_hash").select(
+            "conv_id", "band_hash", "bucket_n", "bucket_rep"
+        )
+    else:
+        # ONE shuffle on band_hash: the window tags bucket size + min, and
+        # the groupBy below reuses the same exchange (identical keys).
+        # Measured ~2x faster than the salted two-pass form at sandbox
+        # scale — but a hot band is a one-task straggler, so this form is
+        # opt-in (band_salt_buckets=0) for small corpora only.
+        w = Window.partitionBy("band_hash")
+        tagged = buckets.select(
+            "conv_id",
+            "band_hash",
+            F.count(F.lit(1)).over(w).alias("bucket_n"),
+            F.min("conv_id").over(w).alias("bucket_rep"),
+        ).filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
 
     # skew guard: never collect_list a mega-bucket (boilerplate content can
     # put millions of docs in one bucket) — emit star edges row-wise instead
     huge_pairs = (
-        tagged.filter(F.col("bucket_n") > COLLECT_CAP)
+        tagged.filter(F.col("bucket_n") > collect_cap)
         .filter(F.col("conv_id") != F.col("bucket_rep"))
         .select(F.col("bucket_rep").alias("a"), F.col("conv_id").alias("b"))
     )
 
     members = (
-        tagged.filter(F.col("bucket_n") <= COLLECT_CAP)
+        tagged.filter(F.col("bucket_n") <= collect_cap)
         .groupBy("band_hash")
         .agg(F.sort_array(F.collect_list("conv_id")).alias("members"))
         # across-band dedup: one row per distinct member set

@@ -98,7 +98,11 @@ def run_pipeline(
 
     docs = ckpt("docs", assemble_docs(turns, config))
 
-    exact_edges = exact_star_edges(docs)
+    # zero_hash analog (dupe_analysis.py:31,335-340): empty docs share
+    # EMPTY_SHA1 and cluster together when empty_cluster=True (reference
+    # behavior); False leaves them untouched by every stage.
+    exact_src = docs if config.empty_cluster else docs.filter(F.col("total_len") > 0)
+    exact_edges = exact_star_edges(exact_src)
     reps = exact_representatives(docs)
 
     signatures = ckpt("signatures", compute_signatures(reps, config))

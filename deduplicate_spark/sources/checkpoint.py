@@ -111,24 +111,53 @@ class CheckpointStore:
             return
         import pandas as pd
 
+        # typed columns — numeric metrics stay queryable (sum/percentile)
         pdf = pd.DataFrame(self.metrics)
         for col in ("rows", "wall_sec", "partitions"):
             if col in pdf.columns:
-                pdf[col] = pdf[col].astype("float64")
-        self.spark.createDataFrame(pdf.astype(str)).write.mode("append").parquet(
-            os.path.join(self.root, "_metrics.parquet")
+                pdf[col] = pd.to_numeric(pdf[col], errors="coerce").astype("float64")
+            else:
+                pdf[col] = float("nan")
+        if "reused" in pdf.columns:
+            pdf["reused"] = pdf["reused"].astype(bool)
+        for col in ("stage", "config_hash", "input_key", "written_at", "format"):
+            if col in pdf.columns:
+                pdf[col] = pdf[col].astype("string")
+            else:
+                pdf[col] = pd.array([None] * len(pdf), dtype="string")
+        schema = (
+            "stage string, config_hash string, input_key string, rows double, "
+            "wall_sec double, partitions double, written_at string, "
+            "format string, reused boolean"
         )
+        cols = [c.split()[0] for c in schema.split(", ")]
+        self.spark.createDataFrame(pdf[cols], schema=schema).write.mode(
+            "append"
+        ).parquet(os.path.join(self.root, "_metrics.parquet"))
 
 
 def merge_runs(
     spark: SparkSession, stores: list[CheckpointStore], stage: str
 ) -> DataFrame:
     """S8 analog (dupe_analysis.py:454-495): merge a stage's output across
-    prior runs — union + first-writer-wins on conv_id. Downstream stages
-    recompute only what the merged data invalidates (their lineage keys
-    change with the new input_key)."""
+    prior runs — union + first-writer-wins on conv_id, where "first" is the
+    store's position in ``stores`` (earlier wins). Enforced via a priority
+    window, not dropDuplicates (which keeps an arbitrary row on an unordered
+    union). Downstream stages recompute only what the merged data
+    invalidates (their lineage keys change with the new input_key)."""
     from functools import reduce
 
-    dfs = [s.read(stage) for s in stores]
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dfs = [
+        s.read(stage).withColumn("_store_priority", F.lit(i))
+        for i, s in enumerate(stores)
+    ]
     merged = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
-    return merged.dropDuplicates(["conv_id"])
+    w = Window.partitionBy("conv_id").orderBy("_store_priority")
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_store_priority")
+    )

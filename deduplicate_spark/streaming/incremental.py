@@ -1,22 +1,36 @@
 """Incremental / streaming dedup ingestion.
 
 The reference has no streaming (SURVEY.md §2.9) — its incrementality is
-memoized analysis DBs + recompute-only-NULL-signatures. The batch analog
-lives in sources/checkpoint.py. This module adds the Structured Streaming
-ingestion surface a production transcript pipeline needs: micro-batch
-arrivals are deduped *against the accumulated signature state* without
-recomputing history.
+memoized analysis DBs + recompute-only-NULL-signatures, and its merge tests
+(test_dupe_analysis.py:377-467) pin that merged stores must link duplicates
+across stores. This module adds the Structured Streaming ingestion surface a
+production transcript pipeline needs, with per-batch work proportional to
+the BATCH, not the accumulated history:
 
-Design (foreachBatch — the exactly-once composition pattern):
   * stream of turn rows -> per-batch assembly (a batch carries whole
     conversations; cross-batch conversations are out of scope for v1 and
     flagged via metrics)
-  * new docs' exact_sha checked against the persisted docs table (left-anti
-    = genuinely new content; matches = instant dupes — the reference's
-    "existing analysis" fast path, dupe_analysis.py:106-113)
-  * new signatures appended to the signature store; LSH pairs computed
-    **only between new docs and (new + old) docs**, never old x old — the
-    incremental property that makes 10^12-turn continuous ingestion viable.
+  * exact fast path: new docs whose exact_sha is already known produce an
+    instant edge to the minimal historical holder of that sha (written to
+    the pairs state — the reference merge-test contract) and never reach
+    the kernel; batch-internal exact groups are collapsed to star edges and
+    one representative, mirroring the batch cascade.
+  * near path: MinHash only on genuinely-new exact-distinct reps. LSH band
+    buckets are PERSISTED STATE (conv_id, band_hash, appended per batch) —
+    history is never re-banded. Each batch broadcasts its own distinct band
+    hashes and probes the bucket state with that semi-filter, so only
+    buckets the batch actually touches are read into the pair logic. On a
+    real table format the bucket state would additionally be bucketed by
+    pmod(band_hash, N) for partition pruning of the probe scan.
+  * the batch path's pair-volume caps are reused: small touched buckets
+    produce all pairs with >= 1 new endpoint (never old x old); buckets
+    above ``allpairs_max`` produce star edges from each new member to the
+    bucket target (the minimal OLD member when one exists, so new arrivals
+    attach to the established cluster; the minimal new member otherwise).
+    A hot boilerplate bucket therefore costs O(new members) per batch.
+  * confirmation (SimHash / min-Jaccard / complete_hash) identical to the
+    batch path; historical signatures are fetched per-endpoint via a
+    broadcast semi-join, never scanned wholesale.
 """
 
 from __future__ import annotations
@@ -28,7 +42,7 @@ from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 from deduplicate_spark.operators.assembly import assemble_docs
-from deduplicate_spark.operators.lsh import band_buckets
+from deduplicate_spark.operators.lsh import ALLPAIRS_MAX_DEFAULT, band_buckets
 from deduplicate_spark.operators.minhash import compute_signatures
 from deduplicate_spark.operators.simhash import confirm_pairs
 
@@ -40,6 +54,11 @@ class IncrementalState:
     docs_path: str
     signatures_path: str
     pairs_path: str
+    buckets_path: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.buckets_path is None:
+            self.buckets_path = self.signatures_path.rstrip("/") + "_buckets"
 
 
 def process_batch(
@@ -48,75 +67,172 @@ def process_batch(
     state: IncrementalState,
     config: DedupConfig | None = None,
     first_batch: bool = False,
+    allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
 ) -> dict[str, int]:
     """Process one micro-batch of turns against accumulated state.
 
     Returns batch metrics. Usable directly or inside
     ``writeStream.foreachBatch(lambda df, _: process_batch(spark, df, st))``.
     """
+    from deduplicate_spark.pipeline import exact_representatives, exact_star_edges
+
     config = config or DedupConfig()
-    new_docs = assemble_docs(turns_batch, config)
+    new_docs = assemble_docs(turns_batch, config).localCheckpoint(eager=True)
 
+    empty_schema = "a string, b string, evidence string"
+    no_edges = spark.createDataFrame([], empty_schema)
+
+    # ---- exact fast path ------------------------------------------------
+    # zero_hash analog: empties participate only when empty_cluster=True
+    exact_new = (
+        new_docs if config.empty_cluster else new_docs.filter(F.col("total_len") > 0)
+    )
     if first_batch:
-        old_docs = None
-        old_sigs = None
-    else:
-        old_docs = spark.read.parquet(state.docs_path)
-        old_sigs = spark.read.parquet(state.signatures_path)
-
-    # exact fast path: content already known -> instant dup edge, no kernel
-    if old_docs is not None:
-        known = old_docs.select("exact_sha").distinct()
-        genuinely_new = new_docs.join(known, "exact_sha", "left_anti")
-        instant_dupes = new_docs.join(known, "exact_sha", "left_semi")
-        n_instant = instant_dupes.count()
-    else:
+        old_reps = None
+        instant_edges = no_edges
         genuinely_new = new_docs
         n_instant = 0
-
-    # expensive kernel only on genuinely-new content (F2 null-filter analog)
-    new_sigs = compute_signatures(genuinely_new.filter(F.col("total_len") > 0), config)
-    new_sigs = new_sigs.localCheckpoint(eager=True)
-
-    # incremental LSH: new x (new + old) via band buckets; old x old excluded
-    new_buckets = band_buckets(new_sigs, config).withColumn("is_new", F.lit(True))
-    if old_sigs is not None:
-        old_buckets = band_buckets(old_sigs, config).withColumn("is_new", F.lit(False))
-        all_buckets = new_buckets.unionByName(old_buckets)
     else:
-        all_buckets = new_buckets
-
-    l = all_buckets.alias("l")
-    r = all_buckets.alias("r")
-    cand = (
-        l.join(r, ["band_id", "band_hash"])
-        .filter(F.col("l.conv_id") < F.col("r.conv_id"))
-        .filter(F.col("l.is_new") | F.col("r.is_new"))  # never old x old
-        .select(
-            F.col("l.conv_id").alias("a"),
-            F.col("r.conv_id").alias("b"),
-            F.lit("lsh").alias("evidence"),
+        # columnar 2-column scan of the docs state; min per sha is the
+        # "existing analysis" fast path (dupe_analysis.py:106-113)
+        old_reps = (
+            spark.read.parquet(state.docs_path)
+            .groupBy("exact_sha")
+            .agg(F.min("conv_id").alias("old_rep"))
         )
+        matched = exact_new.join(old_reps, "exact_sha").localCheckpoint(eager=True)
+        n_instant = matched.count()
+        instant_edges = matched.select(
+            F.col("old_rep").alias("a"),
+            F.col("conv_id").alias("b"),
+            F.lit("exact").alias("evidence"),
+        )
+        genuinely_new = new_docs.join(
+            old_reps.select("exact_sha"), "exact_sha", "left_anti"
+        )
+
+    # batch-internal exact groups: star edges + one rep per sha, exactly
+    # the batch cascade's work-avoidance (pipeline.py exact stage)
+    genuinely_new = genuinely_new.localCheckpoint(eager=True)
+    internal_exact_edges = exact_star_edges(
+        genuinely_new
+        if config.empty_cluster
+        else genuinely_new.filter(F.col("total_len") > 0)
+    )
+    reps = exact_representatives(genuinely_new)
+
+    # ---- near path: kernel on genuinely-new reps only -------------------
+    new_sigs = compute_signatures(reps, config).localCheckpoint(eager=True)
+    new_buckets = (
+        band_buckets(new_sigs, config)
+        .select("conv_id", "band_hash")
+        .localCheckpoint(eager=True)
+    )
+
+    if first_batch:
+        touched_old = spark.createDataFrame([], "conv_id string, band_hash bigint")
+    else:
+        # probe ONLY the buckets this batch touches: broadcast the batch's
+        # distinct band hashes against the persisted bucket state. History
+        # is never re-banded (the state IS the banding).
+        new_keys = new_buckets.select("band_hash").distinct()
+        touched_old = (
+            spark.read.parquet(state.buckets_path)
+            .join(F.broadcast(new_keys), "band_hash")
+        )
+
+    combined = new_buckets.withColumn("is_new", F.lit(True)).unionByName(
+        touched_old.withColumn("is_new", F.lit(False))
+    )
+    stats = combined.groupBy("band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n"),
+        F.min(F.when(~F.col("is_new"), F.col("conv_id"))).alias("rep_old"),
+        F.min("conv_id").alias("rep_any"),
+    )
+    tagged = (
+        combined.join(stats, "band_hash")
+        .filter(F.col("bucket_n") > 1)
+        .withColumn("target", F.coalesce("rep_old", "rep_any"))
+        .localCheckpoint(eager=False)
+    )
+
+    small = tagged.filter(F.col("bucket_n") <= allpairs_max)
+    l = small.select("band_hash", F.col("conv_id").alias("a"), F.col("is_new").alias("na"))
+    r = small.select("band_hash", F.col("conv_id").alias("b"), F.col("is_new").alias("nb"))
+    small_pairs = (
+        l.join(r, "band_hash")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("na") | F.col("nb"))  # never old x old
+        .select("a", "b")
+    )
+    # big buckets: O(new members) star edges to the bucket target
+    large_pairs = (
+        tagged.filter(F.col("bucket_n") > allpairs_max)
+        .filter(F.col("is_new") & (F.col("conv_id") != F.col("target")))
+        .select(F.col("target").alias("a"), F.col("conv_id").alias("b"))
+    )
+    cand = (
+        small_pairs.unionByName(large_pairs)
         .dropDuplicates(["a", "b"])
+        .withColumn("evidence", F.lit("lsh"))
     )
 
-    all_sigs = (
-        new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
+    # confirmation needs signatures (and docs for complete_hash) for the
+    # candidates' endpoints only — fetched via broadcast semi-join, never a
+    # full history scan
+    cand = cand.localCheckpoint(eager=True)
+    endpoints = cand.select(F.col("a").alias("conv_id")).unionByName(
+        cand.select(F.col("b").alias("conv_id"))
+    ).distinct()
+    if first_batch:
+        sig_source = new_sigs
+        docs_source = new_docs
+    else:
+        old_needed = spark.read.parquet(state.signatures_path).join(
+            F.broadcast(endpoints), "conv_id", "left_semi"
+        )
+        sig_source = new_sigs.unionByName(old_needed)
+        docs_source = new_docs.unionByName(
+            spark.read.parquet(state.docs_path).join(
+                F.broadcast(endpoints), "conv_id", "left_semi"
+            )
+        )
+    confirmed = confirm_pairs(cand, sig_source, docs=docs_source, config=config).select(
+        "a", "b", "evidence"
     )
-    confirmed = confirm_pairs(cand, all_sigs, config=config).select("a", "b", "evidence")
 
-    # append state
+    all_edges = instant_edges.unionByName(internal_exact_edges.select("a", "b", "evidence")).unionByName(
+        confirmed
+    )
+    all_edges = all_edges.localCheckpoint(eager=True)
+
+    # ---- append state ----------------------------------------------------
     mode = "overwrite" if first_batch else "append"
     new_docs.write.mode(mode).parquet(state.docs_path)
     new_sigs.write.mode(mode).parquet(state.signatures_path)
-    confirmed.write.mode(mode).parquet(state.pairs_path)
+    new_buckets.write.mode(mode).parquet(state.buckets_path)
+    all_edges.write.mode(mode).parquet(state.pairs_path)
 
+    n_confirmed = confirmed.count()
     return {
         "batch_docs": new_docs.count(),
         "instant_exact_dupes": n_instant,
         "new_signatures": new_sigs.count(),
-        "new_pairs": confirmed.count(),
+        "new_pairs": n_confirmed,
+        "new_edges_total": all_edges.count(),
     }
+
+
+def current_clusters(spark: SparkSession, state: IncrementalState, config: DedupConfig | None = None) -> DataFrame:
+    """Connected components over the accumulated pair state — the
+    cluster-maintenance step a consumer runs after any number of batches.
+    Equivalent to a clean batch run's clusters on the same corpus (pinned
+    by tests/test_streaming.py)."""
+    from deduplicate_spark.operators.components import connected_components
+
+    config = config or DedupConfig()
+    edges = spark.read.parquet(state.pairs_path)
+    return connected_components(edges, max_rounds=config.cc_max_rounds)
 
 
 def stream_turns(

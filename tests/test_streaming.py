@@ -57,3 +57,92 @@ def test_incremental_never_recomputes_old_content(spark, state):
     m2 = process_batch(spark, df2, state, cfg, first_batch=False)
     assert m2["instant_exact_dupes"] == m2["batch_docs"]
     assert m2["new_signatures"] == 0
+
+
+def _cluster_partition(clusters_df):
+    """{frozenset of members} — order/label independent cluster identity."""
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in clusters_df.select("cluster_id", "conv_id").collect():
+        groups[r.cluster_id].add(r.conv_id)
+    return {frozenset(v) for v in groups.values() if len(v) > 1}
+
+
+def test_streaming_equals_clean_batch_run(spark, state, tmp_path):
+    """After N batches, CC over the accumulated pair state must produce the
+    same cluster partition as a clean one-shot pipeline run on the union
+    corpus — the reference's merge contract (test_dupe_analysis.py:377-467)."""
+    from deduplicate_spark.pipeline import run_pipeline
+    from deduplicate_spark.streaming.incremental import current_clusters
+
+    turns_pd, _ = generate_transcripts(n_base=40, seed=23)
+    convs = sorted(turns_pd["conv_id"].unique())
+    cfg = DedupConfig()
+    # 3 batches split by conv hash: dups and originals land in different batches
+    for i in range(3):
+        part = turns_pd[turns_pd["conv_id"].isin([c for c in convs if hash(c) % 3 == i])]
+        bdf = spark.createDataFrame(part, TRANSCRIPTS_SCHEMA)
+        process_batch(spark, bdf, state, cfg, first_batch=(i == 0))
+
+    stream_clusters = _cluster_partition(current_clusters(spark, state, cfg))
+    clean = run_pipeline(spark, spark.createDataFrame(turns_pd, TRANSCRIPTS_SCHEMA), cfg)
+    clean_clusters = _cluster_partition(clean.clusters)
+    assert stream_clusters == clean_clusters
+
+
+def test_instant_exact_edges_written_to_state(spark, state):
+    """Exact dupes of historical content must leave an edge in pairs state
+    (ADVICE r1: previously only counted, never written)."""
+    import pandas as pd
+
+    def mk(cid, text):
+        return (cid, 0, "user", text, "", None)
+
+    text = "a reasonably long conversation body for exact duplication checks"
+    b1 = spark.createDataFrame(
+        pd.DataFrame([mk("orig/a", text)], columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        TRANSCRIPTS_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        pd.DataFrame([mk("copy/b", text)], columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        TRANSCRIPTS_SCHEMA,
+    )
+    cfg = DedupConfig()
+    process_batch(spark, b1, state, cfg, first_batch=True)
+    m2 = process_batch(spark, b2, state, cfg, first_batch=False)
+    assert m2["instant_exact_dupes"] == 1
+    pairs = {(r.a, r.b) for r in spark.read.parquet(state.pairs_path).collect()}
+    assert ("orig/a", "copy/b") in pairs
+
+
+def test_hot_bucket_cost_is_o_new_per_batch(spark, state):
+    """A boilerplate bucket accumulated over batches must cost O(new
+    members) edges per batch (star to the established old target), never
+    old x old or clique."""
+    import pandas as pd
+
+    cfg = DedupConfig(shingle_k=3, num_perm=8, lsh_bands=4, lsh_rows=2)
+    base = "identical boilerplate content repeated verbatim in every doc"
+
+    def batch(prefix, n):
+        rows = [(f"{prefix}/{i:04d}", 0, "user", base, "", None) for i in range(n)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+            TRANSCRIPTS_SCHEMA,
+        )
+
+    process_batch(spark, batch("b0", 30), state, cfg, first_batch=True, allpairs_max=4)
+    m1 = process_batch(spark, batch("b1", 25), state, cfg, first_batch=False, allpairs_max=4)
+    # all 25 are exact dupes of history -> instant path, zero kernel work
+    assert m1["instant_exact_dupes"] == 25
+    assert m1["new_signatures"] == 0
+    # mutate content per doc so they're near-dups, not exact
+    rows = [(f"b2/{i:04d}", 0, "user", base + f" tok{i}", "", None) for i in range(25)]
+    b2 = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        TRANSCRIPTS_SCHEMA,
+    )
+    m2 = process_batch(spark, b2, state, cfg, first_batch=False, allpairs_max=4)
+    # near edges bounded by O(new x bands), far below clique size
+    assert 0 < m2["new_pairs"] <= 25 * cfg.lsh_bands
