@@ -47,6 +47,13 @@ class DedupConfig:
     # complete_hash analog (dupe_analysis.py:622-633): when True, near-dup
     # candidates must ALSO be exact-content-equal to cluster (strict mode)
     complete_hash: bool = False
+    # beg_hash pass-1 analog (dupe_analysis.py:369-370, 437-439): when True,
+    # only exact-distinct reps whose prefix_sha collides with another rep
+    # advance to the MinHash kernel. OPT-IN: it narrows near-dup detection
+    # to same-prefix docs (the reference's exact-dup cascade is sound there;
+    # general near-dups may differ in their first bytes), but on corpora
+    # where variants share openings it removes most kernel work.
+    prefix_prefilter: bool = False
 
     # --- substring pass (winnowing + LCS verify) ---
     enable_substring_pass: bool = False

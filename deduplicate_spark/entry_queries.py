@@ -617,6 +617,62 @@ def q_dd_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dd_actions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """complete_hash-mode actions WITH a full SQL oracle (VERDICT r1 #8):
+    exact-only clusters + canonical election are SQL-expressible, so this
+    turns the engine's strict mode (dupe_analysis.py:622-633 analog) into a
+    hash-checked row. Dupes are planted by unioning a re-keyed copy of the
+    corpus (the raw table has no exact text dupes at small sf)."""
+    from deduplicate_spark.pipeline import run_pipeline
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    )
+    turns = both.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    res = run_pipeline(spark, turns, DedupConfig(complete_hash=True))
+    return res.actions.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("canonical_conv_id").cast("long").alias("canonical_doc_id"),
+        "action",
+    )
+
+
+# cluster label and canonical are the component's min conv_id, which is a
+# STRING min in the engine — the oracle reproduces the varchar ordering
+SQL_DD_ACTIONS_EXACT = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+  FROM documents WHERE length(trim(text)) > 0),
+both_t AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM base),
+grp AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(CAST(doc_id AS VARCHAR)) OVER (PARTITION BY text) AS canon_str
+  FROM both_t)
+SELECT doc_id,
+       CAST(canon_str AS BIGINT) AS cluster_id,
+       CAST(canon_str AS BIGINT) AS canonical_doc_id,
+       CASE WHEN CAST(doc_id AS VARCHAR) = canon_str THEN 'keep' ELSE 'delete' END AS action
+FROM grp WHERE n > 1
+"""
+
+
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduplicate_spark.operators.assembly import assemble_docs
     from deduplicate_spark.operators.lsh import candidate_pairs
@@ -662,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": q_tx_quality,
         "dd_ngram_jaccard_pairs": q_dd_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "dd_actions_exact": q_dd_actions_exact,
         # engine-native (no SQL oracle -> rows-only check)
         "dd_minhash_clusters": q_dd_minhash_clusters,
         "dd_actions": q_dd_actions,
@@ -687,4 +744,5 @@ def oracle_sql() -> dict[str, str]:
         "tx_quality": SQL_TX_QUALITY,
         "dd_ngram_jaccard_pairs": SQL_DD_NGRAM,
         "ann_cosine_topk": SQL_ANN,
+        "dd_actions_exact": SQL_DD_ACTIONS_EXACT,
     }

@@ -197,6 +197,11 @@ def substring_pairs(
 ) -> DataFrame:
     """Confirmed substring-dup edges (a, b, evidence='substring')."""
     config = config or DedupConfig()
+    # a doc shorter than t bytes cannot contain a t-byte substring: drop it
+    # before fingerprinting. Kills the random min-hash collisions tiny docs
+    # produce (measured: 13k -> ~2k candidate pairs at sf0.1, verify was
+    # 90% of stage wall)
+    docs = docs.filter(F.octet_length("doc_text") >= config.substring_min_len)
     fps = doc_fingerprints(docs, config)
 
     w = Window.partitionBy("fp")
@@ -242,7 +247,11 @@ def substring_pairs(
                     keep_b.append(b)
             yield pd.DataFrame({"a": keep_a, "b": keep_b})
 
+    # AQE coalesces the (tiny-by-bytes) candidate set into one partition,
+    # which would serialize the CPU-bound verify kernel into a single task
+    # — spread pairs across the configured parallelism first
     return (
-        withtext.mapInPandas(verify, "a string, b string")
+        withtext.repartition(config.shuffle_partitions)
+        .mapInPandas(verify, "a string, b string")
         .withColumn("evidence", F.lit("substring"))
     )

@@ -105,7 +105,20 @@ def run_pipeline(
     exact_edges = exact_star_edges(exact_src)
     reps = exact_representatives(docs)
 
-    signatures = ckpt("signatures", compute_signatures(reps, config))
+    # optional beg_hash cascade stage (reference pass-1 semantics): the
+    # kernel only sees reps that collide on prefix_sha. NOT applied to the
+    # substring pass — substring dups needn't share prefixes.
+    kernel_input = reps
+    if config.prefix_prefilter:
+        colliding = (
+            reps.groupBy("prefix_sha")
+            .agg(F.count(F.lit(1)).alias("_pn"))
+            .filter(F.col("_pn") > 1)
+            .select("prefix_sha")
+        )
+        kernel_input = reps.join(colliding, "prefix_sha", "left_semi")
+
+    signatures = ckpt("signatures", compute_signatures(kernel_input, config))
     cand = candidate_pairs(signatures, config)
     confirmed = ckpt(
         "pairs",

@@ -114,3 +114,44 @@ def test_report_totals(result):
     n_deletes = result.actions.filter("action = 'delete'").count()
     assert rep["m"] == n_members
     assert rep["d"] == n_deletes
+
+
+def test_prefix_prefilter_prunes_kernel_but_keeps_shared_prefix_dups(spark):
+    """beg_hash cascade stage (reference pass-1, dupe_analysis.py:369-370):
+    prefix-distinct singletons never reach the kernel; near-dups that share
+    their opening still cluster identically."""
+    from deduplicate_spark.config import DedupConfig
+    from deduplicate_spark.pipeline import run_pipeline
+
+    # must exceed PREFIX_CHARS=1024 so the differing tails fall outside the
+    # beg_hash window
+    base = "shared opening paragraph that both variants start with " * 20
+    rows = [
+        ("v/a", 0, "user", base + "tail alpha variant", "", None),
+        ("v/b", 0, "user", base + "tail bravo variant!", "", None),
+    ]
+    # prefix-distinct singletons: genuinely unrelated content, no dup partner
+    solo_texts = [
+        "grilled asparagus recipes rarely mention the maillard threshold",
+        "quarterly treasury yields inverted before the manufacturing print",
+        "the violin luthier reglued the cracked soundpost under tension",
+        "orbital mechanics homework: compute the hohmann transfer window",
+        "migrating cranes navigate by polarized light and river corridors",
+        "the compiler lowered the loop into a single fused multiply add",
+    ]
+    for i, t in enumerate(solo_texts):
+        rows.append((f"solo/{i}", 0, "user", (t + " ") * 6, "", None))
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    res_off = run_pipeline(spark, turns, DedupConfig(prefix_prefilter=False))
+    res_on = run_pipeline(spark, turns, DedupConfig(prefix_prefilter=True))
+    # kernel input shrinks: only the two shared-prefix variants are signed
+    assert res_off.signatures.count() == 8
+    assert res_on.signatures.count() == 2
+    # and the near-dup cluster is identical
+    clus = lambda r: {
+        tuple(sorted([x.conv_id for x in r.clusters.collect()]))
+    }
+    assert clus(res_on) == clus(res_off) == {("v/a", "v/b")}
