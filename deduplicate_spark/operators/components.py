@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from deduplicate_spark.lineage import cut_lineage
 
 
 DRIVER_CC_MAX_EDGES = 5_000_000
@@ -32,12 +33,20 @@ def connected_components(
     checkpoint_every: int = 2,
     min_rounds: int = 2,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    assume_deduped: bool = False,
 ) -> DataFrame:
     """edges(a, b) -> (conv_id, cluster_id); only nodes that appear in an
     edge are returned (singletons are not duplicates — reference reports
     count>1 groups only).
+
+    ``assume_deduped=True`` skips the defensive edge dedup — the pipeline
+    already dropDuplicates its union, and re-deduping a 10^7-edge list is
+    a full extra exchange.
     """
-    pairs = edges.select("a", "b").dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+    pairs = edges.select("a", "b")
+    if not assume_deduped:
+        pairs = pairs.dropDuplicates(["a", "b"])
+    pairs = pairs.transform(lambda _df: cut_lineage(_df, eager=True))
 
     # small-edge fast path: confirmed dup edges are a tiny fraction of the
     # corpus (the cascade's whole point); below the threshold an exact
@@ -52,7 +61,7 @@ def connected_components(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .transform(lambda _df: cut_lineage(_df, eager=True))
     )
 
     labels = sym.select(F.col("src").alias("conv_id")).distinct().withColumn(
@@ -78,7 +87,7 @@ def connected_components(
             )
         )
         if checkpoint_every and round_no % checkpoint_every == checkpoint_every - 1:
-            merged = merged.localCheckpoint(eager=True)
+            merged = merged.transform(lambda _df: cut_lineage(_df, eager=True))
 
         # dedup graphs converge in 2-3 rounds (star-shaped components);
         # skip the convergence-count job for the first min_rounds - 1

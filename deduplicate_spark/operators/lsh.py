@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.lineage import cut_lineage
 
 # all-pairs ceiling: a bucket of n docs costs n(n-1)/2 pairs; above this,
 # star edges give the same CC connectivity at O(n). 16 keeps the worst
@@ -126,7 +127,7 @@ def candidate_pairs(
         # across-band dedup: one row per distinct member set
         .dropDuplicates(["members"])
         .withColumn("bucket_n", F.size("members"))
-        .localCheckpoint(eager=False)
+        .transform(lambda _df: cut_lineage(_df, eager=False))
     )
 
     small = members.filter(F.col("bucket_n") <= allpairs_max)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 from deduplicate_spark.operators.minhash import _splitmix64
+from deduplicate_spark.lineage import cut_lineage
 
 
 def winnow_fingerprints(text: str, t: int, w: int, max_chars: int | None = None) -> np.ndarray:
@@ -213,7 +214,7 @@ def substring_pairs(
             F.min("conv_id").over(w).alias("bucket_rep"),
         )
         .filter(F.col("bucket_n") > 1)
-        .localCheckpoint(eager=False)  # consumed by both small and large branches
+        .transform(lambda _df: cut_lineage(_df, eager=False))  # consumed by both small and large branches
     )
 
     small = annotated.filter(F.col("bucket_n") <= allpairs_max)

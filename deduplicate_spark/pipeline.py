@@ -33,6 +33,7 @@ from deduplicate_spark.operators.resolve import actions as make_actions
 from deduplicate_spark.operators.resolve import cluster_report
 from deduplicate_spark.operators.simhash import confirm_pairs
 from deduplicate_spark.operators.substring import substring_pairs
+from deduplicate_spark.lineage import cut_lineage
 
 
 @dataclass
@@ -94,7 +95,7 @@ def run_pipeline(
     def ckpt(name: str, df: DataFrame) -> DataFrame:
         if store is not None:
             return store.stage(name, df)
-        return df.localCheckpoint(eager=False)
+        return df.transform(lambda _df: cut_lineage(_df, eager=False))
 
     docs = ckpt("docs", assemble_docs(turns, config))
 
@@ -135,7 +136,9 @@ def run_pipeline(
 
     clusters = ckpt(
         "clusters",
-        connected_components(edges, max_rounds=config.cc_max_rounds),
+        connected_components(
+            edges, max_rounds=config.cc_max_rounds, assume_deduped=True
+        ),
     )
     acts = ckpt("actions", make_actions(clusters, docs))
 

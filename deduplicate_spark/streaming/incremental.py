@@ -45,6 +45,7 @@ from deduplicate_spark.operators.assembly import assemble_docs
 from deduplicate_spark.operators.lsh import ALLPAIRS_MAX_DEFAULT, band_buckets
 from deduplicate_spark.operators.minhash import compute_signatures
 from deduplicate_spark.operators.simhash import confirm_pairs
+from deduplicate_spark.lineage import cut_lineage
 
 
 @dataclass
@@ -77,7 +78,7 @@ def process_batch(
     from deduplicate_spark.pipeline import exact_representatives, exact_star_edges
 
     config = config or DedupConfig()
-    new_docs = assemble_docs(turns_batch, config).localCheckpoint(eager=True)
+    new_docs = assemble_docs(turns_batch, config).transform(lambda _df: cut_lineage(_df, eager=True))
 
     empty_schema = "a string, b string, evidence string"
     no_edges = spark.createDataFrame([], empty_schema)
@@ -100,7 +101,7 @@ def process_batch(
             .groupBy("exact_sha")
             .agg(F.min("conv_id").alias("old_rep"))
         )
-        matched = exact_new.join(old_reps, "exact_sha").localCheckpoint(eager=True)
+        matched = exact_new.join(old_reps, "exact_sha").transform(lambda _df: cut_lineage(_df, eager=True))
         n_instant = matched.count()
         instant_edges = matched.select(
             F.col("old_rep").alias("a"),
@@ -113,7 +114,7 @@ def process_batch(
 
     # batch-internal exact groups: star edges + one rep per sha, exactly
     # the batch cascade's work-avoidance (pipeline.py exact stage)
-    genuinely_new = genuinely_new.localCheckpoint(eager=True)
+    genuinely_new = genuinely_new.transform(lambda _df: cut_lineage(_df, eager=True))
     internal_exact_edges = exact_star_edges(
         genuinely_new
         if config.empty_cluster
@@ -122,11 +123,11 @@ def process_batch(
     reps = exact_representatives(genuinely_new)
 
     # ---- near path: kernel on genuinely-new reps only -------------------
-    new_sigs = compute_signatures(reps, config).localCheckpoint(eager=True)
+    new_sigs = compute_signatures(reps, config).transform(lambda _df: cut_lineage(_df, eager=True))
     new_buckets = (
         band_buckets(new_sigs, config)
         .select("conv_id", "band_hash")
-        .localCheckpoint(eager=True)
+        .transform(lambda _df: cut_lineage(_df, eager=True))
     )
 
     if first_batch:
@@ -153,7 +154,7 @@ def process_batch(
         combined.join(stats, "band_hash")
         .filter(F.col("bucket_n") > 1)
         .withColumn("target", F.coalesce("rep_old", "rep_any"))
-        .localCheckpoint(eager=False)
+        .transform(lambda _df: cut_lineage(_df, eager=False))
     )
 
     small = tagged.filter(F.col("bucket_n") <= allpairs_max)
@@ -180,7 +181,7 @@ def process_batch(
     # confirmation needs signatures (and docs for complete_hash) for the
     # candidates' endpoints only — fetched via broadcast semi-join, never a
     # full history scan
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand.transform(lambda _df: cut_lineage(_df, eager=True))
     endpoints = cand.select(F.col("a").alias("conv_id")).unionByName(
         cand.select(F.col("b").alias("conv_id"))
     ).distinct()
@@ -204,7 +205,7 @@ def process_batch(
     all_edges = instant_edges.unionByName(internal_exact_edges.select("a", "b", "evidence")).unionByName(
         confirmed
     )
-    all_edges = all_edges.localCheckpoint(eager=True)
+    all_edges = all_edges.transform(lambda _df: cut_lineage(_df, eager=True))
 
     # ---- append state ----------------------------------------------------
     mode = "overwrite" if first_batch else "append"

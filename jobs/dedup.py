@@ -6,7 +6,8 @@
         --checkpoint-root /path/to/ckpt \
         [--resume] [--substring] [--complete-hash] \
         [--exclude-roles system] [--shingle-k 9] [--num-perm 128] \
-        [--bands 32] [--rows 4] [--hamming-max 12]
+        [--bands 32] [--rows 4] [--hamming-max 12] \
+        [--synology] [--analyze] [--manual-store /path/to/prior/ckpt]
 
 Reads the transcripts table (parquet path or, when an Iceberg catalog is
 configured on the cluster, a table identifier), runs the full cascade, and
@@ -39,6 +40,26 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--complete-hash", action="store_true", help="exact-only confirmation")
     p.add_argument("--exclude-roles", nargs="*", default=[])
     p.add_argument("--exclude-conv-regex", default=None)
+    p.add_argument(
+        "--synology",
+        action="store_true",
+        help="preset: exclude conv_ids with a path segment starting with "
+        "'@' or '.' (reference --synology globs '*/@*', '*/.*', "
+        "deduplicate.py:452-453)",
+    )
+    p.add_argument(
+        "--analyze",
+        action="store_true",
+        help="analysis only: write clusters, skip actions/report "
+        "(reference --analyze, deduplicate.py:459-461)",
+    )
+    p.add_argument(
+        "--manual-store",
+        default=None,
+        help="load/write a specific checkpoint store root instead of the "
+        "one derived from the input (reference --manual DB, "
+        "dupe_analysis.py:99-102); implies --resume",
+    )
     p.add_argument("--shingle-k", type=int, default=9)
     p.add_argument("--num-perm", type=int, default=128)
     p.add_argument("--bands", type=int, default=32)
@@ -62,9 +83,19 @@ def main(argv: list[str] | None = None) -> None:
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
 
+    exclude_conv_regex = args.exclude_conv_regex
+    if args.synology:
+        # '*/@*' + '*/.*' glob analog on the conv_id path space
+        synology_re = r"(^|/)[@.]"
+        exclude_conv_regex = (
+            synology_re
+            if exclude_conv_regex is None
+            else f"({exclude_conv_regex})|({synology_re})"
+        )
+
     config = DedupConfig(
         exclude_roles=tuple(args.exclude_roles),
-        exclude_conv_regex=args.exclude_conv_regex,
+        exclude_conv_regex=exclude_conv_regex,
         shingle_k=args.shingle_k,
         num_perm=args.num_perm,
         lsh_bands=args.bands,
@@ -81,41 +112,41 @@ def main(argv: list[str] | None = None) -> None:
         turns = spark.read.table(args.input)
 
     store = None
-    if args.checkpoint_root:
+    checkpoint_root = args.manual_store or args.checkpoint_root
+    resume = args.resume or args.manual_store is not None
+    if checkpoint_root:
         input_key = hashlib.sha1(args.input.encode()).hexdigest()[:16]
         store = CheckpointStore(
             spark=spark,
-            root=args.checkpoint_root,
+            root=checkpoint_root,
             config_hash=config.config_hash(),
             input_key=input_key,
             enabled=True,
         )
-        if not args.resume:
+        if not resume:
             for stage in ("docs", "signatures", "pairs", "clusters", "actions"):
                 store.invalidate(stage)
 
     t0 = time.time()
     result = run_pipeline(spark, turns, config, store=store)
     result.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
-    result.actions.write.mode("overwrite").parquet(f"{args.output}/actions")
-    result.report.write.mode("overwrite").parquet(f"{args.output}/report")
+    if not args.analyze:
+        result.actions.write.mode("overwrite").parquet(f"{args.output}/actions")
+        result.report.write.mode("overwrite").parquet(f"{args.output}/report")
     wall = time.time() - t0
 
     if store is not None:
         store.write_metrics()
 
-    n_clusters = result.report.count()
-    n_actions = result.actions.count()
-    print(
-        json.dumps(
-            {
-                "wall_sec": round(wall, 2),
-                "clusters": n_clusters,
-                "actions": n_actions,
-                "config_hash": config.config_hash(),
-            }
-        )
-    )
+    summary = {
+        "wall_sec": round(wall, 2),
+        "clusters": result.clusters.select("cluster_id").distinct().count(),
+        "config_hash": config.config_hash(),
+        "analyze_only": bool(args.analyze),
+    }
+    if not args.analyze:
+        summary["actions"] = result.actions.count()
+    print(json.dumps(summary))
     spark.stop()
 
 
