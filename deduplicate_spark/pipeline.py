@@ -86,10 +86,15 @@ def run_pipeline(
     turns: DataFrame,
     config: DedupConfig | None = None,
     store=None,
+    analyze_only: bool = False,
 ) -> PipelineResult:
     """turns -> PipelineResult. If ``store`` (a CheckpointStore) is given,
     each stage persists + is resumable; otherwise everything is lazy with
-    localCheckpoints at iteration boundaries."""
+    localCheckpoints at iteration boundaries.
+
+    ``analyze_only`` mirrors the reference --analyze (deduplicate.py:459-461):
+    stop after clusters — the actions/report DataFrames are still returned
+    lazily but never materialized or checkpointed by the pipeline itself."""
     config = config or DedupConfig()
 
     def ckpt(name: str, df: DataFrame) -> DataFrame:
@@ -140,7 +145,9 @@ def run_pipeline(
             edges, max_rounds=config.cc_max_rounds, assume_deduped=True
         ),
     )
-    acts = ckpt("actions", make_actions(clusters, docs))
+    acts = make_actions(clusters, docs)
+    if not analyze_only:
+        acts = ckpt("actions", acts)
 
     return PipelineResult(
         docs=docs,

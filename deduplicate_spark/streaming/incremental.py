@@ -31,6 +31,16 @@ the BATCH, not the accumulated history:
   * confirmation (SimHash / min-Jaccard / complete_hash) identical to the
     batch path; historical signatures are fetched per-endpoint via a
     broadcast semi-join, never scanned wholesale.
+
+Equivalence contract vs a clean batch run: CONNECTIVITY-EQUIVALENT AT THE
+CANDIDATE LEVEL, not structurally identical. Streaming stars large-bucket
+arrivals to the established (min OLD) member while a clean run stars to the
+global bucket min, and a bucket that crosses ``allpairs_max`` mid-history
+emits early cliques + later stars. SimHash confirmation is pair-specific,
+so adversarial corpora (candidates near the hamming threshold) could
+confirm different edge subsets; for real near-dup corpora the confirmed
+connectivity — and therefore the cluster partition — coincides (pinned by
+tests/test_streaming.py::test_streaming_equals_clean_batch_run).
 """
 
 from __future__ import annotations

@@ -128,7 +128,7 @@ def main(argv: list[str] | None = None) -> None:
                 store.invalidate(stage)
 
     t0 = time.time()
-    result = run_pipeline(spark, turns, config, store=store)
+    result = run_pipeline(spark, turns, config, store=store, analyze_only=args.analyze)
     result.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     if not args.analyze:
         result.actions.write.mode("overwrite").parquet(f"{args.output}/actions")

@@ -72,16 +72,30 @@ def _cluster_partition(clusters_df):
 def test_streaming_equals_clean_batch_run(spark, state, tmp_path):
     """After N batches, CC over the accumulated pair state must produce the
     same cluster partition as a clean one-shot pipeline run on the union
-    corpus — the reference's merge contract (test_dupe_analysis.py:377-467)."""
+    corpus — the reference's merge contract (test_dupe_analysis.py:377-467).
+
+    NOTE: the equivalence is connectivity-equivalent at the CANDIDATE level,
+    not structurally identical post-confirmation — streaming stars large-
+    bucket members to the established (min OLD) member while a clean run
+    stars to the global bucket min, and SimHash confirmation is
+    pair-specific, so pathological corpora could confirm differently. On
+    this corpus (and any corpus whose near-dups are genuinely similar) the
+    partitions coincide; see incremental.py module docstring."""
     from deduplicate_spark.pipeline import run_pipeline
     from deduplicate_spark.streaming.incremental import current_clusters
+
+    import zlib
 
     turns_pd, _ = generate_transcripts(n_base=40, seed=23)
     convs = sorted(turns_pd["conv_id"].unique())
     cfg = DedupConfig()
-    # 3 batches split by conv hash: dups and originals land in different batches
+    # 3 batches split by a DETERMINISTIC conv hash (builtin hash() is
+    # randomized per process via PYTHONHASHSEED — a data-dependent failure
+    # here must be replayable): dups and originals land in different batches
     for i in range(3):
-        part = turns_pd[turns_pd["conv_id"].isin([c for c in convs if hash(c) % 3 == i])]
+        part = turns_pd[turns_pd["conv_id"].isin(
+            [c for c in convs if zlib.crc32(c.encode()) % 3 == i]
+        )]
         bdf = spark.createDataFrame(part, TRANSCRIPTS_SCHEMA)
         process_batch(spark, bdf, state, cfg, first_batch=(i == 0))
 
