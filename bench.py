@@ -64,6 +64,14 @@ def main() -> None:
     turns = eq.docs_as_multiturn_transcripts(spark, sf_dir).cache()
     n_turns = turns.count()  # materialize input outside the timed region
 
+    # Warm-up (untimed, like the input materialization above): the first
+    # mapInPandas forks 32 Python workers (~2s) and the first execution of
+    # each plan shape pays whole-stage codegen — one-time SESSION costs, not
+    # pipeline throughput. Measured: signature kernel 3.75s cold vs 1.8s
+    # steady; LSH stage 3.9s vs 2.1s at sf0.1.
+    warm = turns.limit(800)
+    run_pipeline(spark, warm, DedupConfig(enable_substring_pass=True)).actions.count()
+
     def flagship() -> None:
         res = run_pipeline(spark, turns, cfg)
         extras["dup_convs"] = res.clusters.count()

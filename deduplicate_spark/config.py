@@ -64,6 +64,15 @@ class DedupConfig:
     band_salt_buckets: int = 8     # salt for hot LSH bands
     max_band_bucket: int = 2_000   # cap pair fan-out per band bucket (logged)
     cc_max_rounds: int = 30
+    # run the kernel path (signatures -> band explode -> pairs -> CC) on
+    # xxhash64(conv_id) LONGS instead of id strings: the band explode is
+    # ~bands rows/doc and pair/CC shuffles are id-pairs, so 8-byte fixed
+    # ids roughly halve the bytes through every bandwidth-bound exchange.
+    # String ids are joined back before actions; cluster_id stays
+    # min(string conv_id). 64-bit collisions (P ~ n^2/2^65) would merge two
+    # docs — set False for the exact string-id path if that matters more
+    # than shuffle width.
+    internal_long_ids: bool = True
 
     # --- empty-doc handling (zero_hash analog, dupe_analysis.py:31,335-340) ---
     empty_cluster: bool = True

@@ -118,8 +118,9 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
 
     pdf = pairs.toPandas()
     spark = pairs.sparkSession
+    id_type = pairs.schema["a"].dataType.simpleString()
     if pdf.empty:
-        return spark.createDataFrame([], "conv_id string, cluster_id string")
+        return spark.createDataFrame([], f"conv_id {id_type}, cluster_id {id_type}")
 
     uniques = np.sort(pd.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])))
     index = pd.Index(uniques)

@@ -129,7 +129,7 @@ def _to_i64(u: np.ndarray) -> np.ndarray:
     return u.view(np.int64)
 
 
-SIGNATURE_DDL = "conv_id string, minhash array<long>, simhash long, n_shingles int"
+SIGNATURE_DDL = "conv_id {id_type}, minhash array<long>, simhash long, n_shingles int"
 
 
 def compute_signatures(docs, config: DedupConfig | None = None, seed: int = 42):
@@ -137,12 +137,16 @@ def compute_signatures(docs, config: DedupConfig | None = None, seed: int = 42):
     n_shingles) via one ``mapInPandas`` pass.
 
     Permutation params are computed deterministically inside each task from
-    (num_perm, seed) — tiny, no broadcast needed.
+    (num_perm, seed) — tiny, no broadcast needed. The id column is passed
+    through opaquely (string conv_ids, or the pipeline's internal xxhash64
+    longs — the output schema mirrors the input id type).
     """
     config = config or DedupConfig()
     k = config.shingle_k
     num_perm = config.num_perm
     max_chars = config.max_shingle_chars
+    id_type = docs.schema["conv_id"].dataType.simpleString()
+    id_dtype = "int64" if id_type == "bigint" else "object"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = perm_params(num_perm, seed)
@@ -157,11 +161,13 @@ def compute_signatures(docs, config: DedupConfig | None = None, seed: int = 42):
                 out_ns.append(sh.size)
             yield pd.DataFrame(
                 {
-                    "conv_id": out_ids,
+                    "conv_id": pd.Series(out_ids, dtype=id_dtype),
                     "minhash": out_sigs,
                     "simhash": pd.array(out_sims, dtype="int64"),
                     "n_shingles": pd.array(out_ns, dtype="int32"),
                 }
             )
 
-    return docs.select("conv_id", "doc_text").mapInPandas(kernel, SIGNATURE_DDL)
+    return docs.select("conv_id", "doc_text").mapInPandas(
+        kernel, SIGNATURE_DDL.format(id_type=id_type)
+    )

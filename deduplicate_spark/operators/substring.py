@@ -171,13 +171,16 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return _max_crossing_lcp(sa, levels, len(ab))
 
 
-FINGERPRINT_DDL = "conv_id string, fp long"
+FINGERPRINT_DDL = "conv_id {id_type}, fp long"
 
 
 def doc_fingerprints(docs: DataFrame, config: DedupConfig | None = None) -> DataFrame:
-    """docs -> exploded (conv_id, fp) winnowing fingerprints."""
+    """docs -> exploded (conv_id, fp) winnowing fingerprints. The id column
+    passes through opaquely (strings, or the pipeline's internal longs)."""
     config = config or DedupConfig()
     t, w, cap = config.substring_min_len, config.winnow_kgram, config.max_shingle_chars
+    id_type = docs.schema["conv_id"].dataType.simpleString()
+    id_dtype = "int64" if id_type == "bigint" else "object"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,9 +189,13 @@ def doc_fingerprints(docs: DataFrame, config: DedupConfig | None = None) -> Data
                 sel = _winnow_from_raw(_raw_window_hashes(text or "", w, cap), t, w)
                 ids.extend([conv_id] * sel.size)
                 fps.extend(sel.view(np.int64).tolist())
-            yield pd.DataFrame({"conv_id": ids, "fp": pd.array(fps, dtype="int64")})
+            yield pd.DataFrame(
+                {"conv_id": pd.Series(ids, dtype=id_dtype), "fp": pd.array(fps, dtype="int64")}
+            )
 
-    return docs.select("conv_id", "doc_text").mapInPandas(kernel, FINGERPRINT_DDL)
+    return docs.select("conv_id", "doc_text").mapInPandas(
+        kernel, FINGERPRINT_DDL.format(id_type=id_type)
+    )
 
 
 def substring_pairs(
@@ -238,6 +245,8 @@ def substring_pairs(
     )
 
     t = config.substring_min_len
+    id_type = docs.schema["conv_id"].dataType.simpleString()
+    id_dtype = "int64" if id_type == "bigint" else "object"
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,13 +255,15 @@ def substring_pairs(
                 if longest_common_substring_len(ta or "", tb or "") >= t:
                     keep_a.append(a)
                     keep_b.append(b)
-            yield pd.DataFrame({"a": keep_a, "b": keep_b})
+            yield pd.DataFrame(
+                {"a": pd.Series(keep_a, dtype=id_dtype), "b": pd.Series(keep_b, dtype=id_dtype)}
+            )
 
     # AQE coalesces the (tiny-by-bytes) candidate set into one partition,
     # which would serialize the CPU-bound verify kernel into a single task
     # — spread pairs across the configured parallelism first
     return (
         withtext.repartition(config.shuffle_partitions)
-        .mapInPandas(verify, "a string, b string")
+        .mapInPandas(verify, f"a {id_type}, b {id_type}")
         .withColumn("evidence", F.lit("substring"))
     )

@@ -104,12 +104,24 @@ def run_pipeline(
 
     docs = ckpt("docs", assemble_docs(turns, config))
 
+    # internal id representation: every stage from here to CC treats
+    # conv_id opaquely, so the whole kernel path can run on 8-byte
+    # xxhash64(conv_id) longs — band explode rows go from (string, long)
+    # to (long, long), pair shuffles and CC labels shrink the same way.
+    # Strings are joined back onto the final (small, dup-only) cluster
+    # table below; outputs are identical to the string path.
+    kdocs = (
+        docs.withColumn("conv_id", F.xxhash64("conv_id"))
+        if config.internal_long_ids
+        else docs
+    )
+
     # zero_hash analog (dupe_analysis.py:31,335-340): empty docs share
     # EMPTY_SHA1 and cluster together when empty_cluster=True (reference
     # behavior); False leaves them untouched by every stage.
-    exact_src = docs if config.empty_cluster else docs.filter(F.col("total_len") > 0)
+    exact_src = kdocs if config.empty_cluster else kdocs.filter(F.col("total_len") > 0)
     exact_edges = exact_star_edges(exact_src)
-    reps = exact_representatives(docs)
+    reps = exact_representatives(kdocs)
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
     # kernel only sees reps that collide on prefix_sha. NOT applied to the
@@ -128,7 +140,7 @@ def run_pipeline(
     cand = candidate_pairs(signatures, config)
     confirmed = ckpt(
         "pairs",
-        confirm_pairs(cand, signatures, docs=docs, config=config).select(
+        confirm_pairs(cand, signatures, docs=kdocs, config=config).select(
             "a", "b", "evidence"
         ),
     )
@@ -139,12 +151,28 @@ def run_pipeline(
         edges = edges.unionByName(sub_edges)
     edges = edges.dropDuplicates(["a", "b"])
 
-    clusters = ckpt(
-        "clusters",
-        connected_components(
-            edges, max_rounds=config.cc_max_rounds, assume_deduped=True
-        ),
+    components = connected_components(
+        edges, max_rounds=config.cc_max_rounds, assume_deduped=True
     )
+    if config.internal_long_ids:
+        # map long node ids back to conv_id strings and relabel each
+        # component with its min STRING id — the public cluster_id contract
+        # (min conv_id) is independent of the internal representation. The
+        # component table is dup docs only, so this join + window is tiny
+        # relative to the shuffles it made cheaper.
+        id_map = docs.select(
+            F.xxhash64("conv_id").alias("_nid"), F.col("conv_id").alias("_conv")
+        )
+        w = Window.partitionBy("_comp")
+        components = (
+            components.select(F.col("conv_id").alias("_node"), F.col("cluster_id").alias("_comp"))
+            .join(id_map, F.col("_node") == F.col("_nid"))
+            .select(
+                F.col("_conv").alias("conv_id"),
+                F.min("_conv").over(w).alias("cluster_id"),
+            )
+        )
+    clusters = ckpt("clusters", components)
     acts = make_actions(clusters, docs)
     if not analyze_only:
         acts = ckpt("actions", acts)

@@ -155,3 +155,31 @@ def test_prefix_prefilter_prunes_kernel_but_keeps_shared_prefix_dups(spark):
         tuple(sorted([x.conv_id for x in r.clusters.collect()]))
     }
     assert clus(res_on) == clus(res_off) == {("v/a", "v/b")}
+
+
+def test_internal_long_ids_output_identical_to_string_path(spark):
+    """internal_long_ids=True runs signatures/LSH/CC on xxhash64 longs (half
+    the shuffle width of string ids) but must produce byte-identical public
+    outputs: cluster membership, cluster_id = min STRING conv_id, actions."""
+    from deduplicate_spark.config import DedupConfig
+    from deduplicate_spark.datagen import generate_transcripts
+    from deduplicate_spark.pipeline import run_pipeline
+    from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
+
+    turns_pd, _ = generate_transcripts(n_base=40, seed=31)
+    turns = spark.createDataFrame(turns_pd, schema=TRANSCRIPTS_SCHEMA)
+
+    def snap(cfg):
+        res = run_pipeline(spark, turns, cfg)
+        cl = {(r.conv_id, r.cluster_id) for r in res.clusters.collect()}
+        ac = {
+            (r.conv_id, r.cluster_id, r.canonical_conv_id, r.action)
+            for r in res.actions.collect()
+        }
+        return cl, ac
+
+    for kw in [dict(enable_substring_pass=True), dict(complete_hash=True)]:
+        on = snap(DedupConfig(internal_long_ids=True, **kw))
+        off = snap(DedupConfig(internal_long_ids=False, **kw))
+        assert on == off, f"long-id path diverged for {kw}"
+        assert len(on[0]) > 0  # non-vacuous: dups exist in this corpus
