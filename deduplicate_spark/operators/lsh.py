@@ -22,11 +22,12 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 from deduplicate_spark.lineage import cut_lineage
+from deduplicate_spark.operators.skew import tag_bucket_stats
 
 # all-pairs ceiling: a bucket of n docs costs n(n-1)/2 pairs; above this,
 # star edges give the same CC connectivity at O(n). 16 keeps the worst
@@ -75,42 +76,12 @@ def candidate_pairs(
     # (band_id is folded into band_hash by the xxhash64; carrying it would
     # only widen the 32x-exploded shuffle rows)
 
-    salt_n = config.band_salt_buckets
-    if salt_n and salt_n > 1:
-        # SCALE PATH (default): salted partial aggregation. count/min are
-        # algebraic, so a mega-hot band (boilerplate content at 100 TB) is
-        # first reduced within salt_n independent groups, then combined on
-        # a per-band stats table that is tiny regardless of bucket size.
-        # Rows are tagged by a join-back on band_hash — a sort-merge join
-        # AQE's skewJoin CAN split, unlike a window partition. Costs one
-        # extra shuffle of the exploded rows vs the window form below; the
-        # window form is kept for salt_n<=1 as a small-corpus fast path.
-        partial = (
-            buckets.withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.lit(salt_n)))
-            .groupBy("band_hash", "salt")
-            .agg(F.count(F.lit(1)).alias("pn"), F.min("conv_id").alias("pmin"))
-        )
-        stats = (
-            partial.groupBy("band_hash")
-            .agg(F.sum("pn").alias("bucket_n"), F.min("pmin").alias("bucket_rep"))
-            .filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
-        )
-        tagged = buckets.join(stats, "band_hash").select(
-            "conv_id", "band_hash", "bucket_n", "bucket_rep"
-        )
-    else:
-        # ONE shuffle on band_hash: the window tags bucket size + min, and
-        # the groupBy below reuses the same exchange (identical keys).
-        # Measured ~2x faster than the salted two-pass form at sandbox
-        # scale — but a hot band is a one-task straggler, so this form is
-        # opt-in (band_salt_buckets=0) for small corpora only.
-        w = Window.partitionBy("band_hash")
-        tagged = buckets.select(
-            "conv_id",
-            "band_hash",
-            F.count(F.lit(1)).over(w).alias("bucket_n"),
-            F.min("conv_id").over(w).alias("bucket_rep"),
-        ).filter(F.col("bucket_n") > 1)  # A1 prefilter: collision groups only
+    # SCALE PATH (default salt_buckets>1): salted algebraic partial agg +
+    # AQE-splittable join-back; window form for salt<=1 (small corpora).
+    # Shared with the substring pass — see operators/skew.py.
+    tagged = tag_bucket_stats(
+        buckets, "band_hash", salt_buckets=config.band_salt_buckets
+    ).select("conv_id", "band_hash", "bucket_n", "bucket_rep")
 
     # skew guard: never collect_list a mega-bucket (boilerplate content can
     # put millions of docs in one bucket) — emit star edges row-wise instead

@@ -1,0 +1,49 @@
+"""Skew-safe bucket statistics, shared by every collision-bucket stage.
+
+The cascade repeatedly needs "tag each row with its bucket's size and min
+member, keep only collision buckets (n > 1)" — the A1 prefilter
+(/root/reference/dupe_analysis.py:391-407) — over a bucket key that can be
+pathologically hot at 100 TB (a boilerplate LSH band, a winnowing
+fingerprint shared by millions of template docs). ``Window.partitionBy(key)``
+puts the whole hot bucket in ONE task that AQE cannot split; this helper
+instead computes count/min as a SALTED ALGEBRAIC partial aggregation
+(reduced within ``salt_buckets`` independent groups, then combined on a
+tiny per-bucket stats table) and tags rows via a join-back that AQE's
+skew-join CAN split.
+
+``salt_buckets <= 1`` keeps the single-shuffle window form as a small-corpus
+fast path (measured ~2x faster at sandbox scale, unusable at 100x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tag_bucket_stats(
+    df: DataFrame,
+    key: str,
+    id_col: str = "conv_id",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """df(..., key, id_col) -> rows of collision buckets only, plus
+    ``bucket_n`` (bucket size) and ``bucket_rep`` (min id in bucket)."""
+    if salt_buckets and salt_buckets > 1:
+        partial = (
+            df.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(salt_buckets)))
+            .groupBy(key, "_salt")
+            .agg(F.count(F.lit(1)).alias("_pn"), F.min(id_col).alias("_pmin"))
+        )
+        stats = (
+            partial.groupBy(key)
+            .agg(F.sum("_pn").alias("bucket_n"), F.min("_pmin").alias("bucket_rep"))
+            .filter(F.col("bucket_n") > 1)  # A1 prefilter: collision buckets only
+        )
+        return df.join(stats, key)
+    w = Window.partitionBy(key)
+    return df.select(
+        *df.columns,
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min(id_col).over(w).alias("bucket_rep"),
+    ).filter(F.col("bucket_n") > 1)

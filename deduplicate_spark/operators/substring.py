@@ -27,11 +27,12 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 from deduplicate_spark.operators.minhash import _splitmix64
+from deduplicate_spark.operators.skew import tag_bucket_stats
 from deduplicate_spark.lineage import cut_lineage
 
 
@@ -212,17 +213,12 @@ def substring_pairs(
     docs = docs.filter(F.octet_length("doc_text") >= config.substring_min_len)
     fps = doc_fingerprints(docs, config)
 
-    w = Window.partitionBy("fp")
-    annotated = (
-        fps.select(
-            "conv_id",
-            "fp",
-            F.count(F.lit(1)).over(w).alias("bucket_n"),
-            F.min("conv_id").over(w).alias("bucket_rep"),
-        )
-        .filter(F.col("bucket_n") > 1)
-        .transform(lambda _df: cut_lineage(_df, eager=False))  # consumed by both small and large branches
-    )
+    # salted stats (VERDICT r2 #2): a winnowing fingerprint shared by 10^7
+    # boilerplate docs at 100 TB must not become a one-task window straggler
+    # — same skew-safe helper as the LSH band stage.
+    annotated = tag_bucket_stats(
+        fps, "fp", salt_buckets=config.band_salt_buckets
+    ).transform(lambda _df: cut_lineage(_df, eager=False))  # consumed by both small and large branches
 
     small = annotated.filter(F.col("bucket_n") <= allpairs_max)
     l = small.select("fp", F.col("conv_id").alias("a"))

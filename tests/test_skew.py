@@ -1,0 +1,62 @@
+"""Skew-safe bucket stats: the shared salted helper (operators/skew.py) and
+its use in the substring pass (VERDICT r2 #2 — the fp window was the last
+unsalted hot-bucket window in the repo)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.operators.skew import tag_bucket_stats
+from deduplicate_spark.operators.substring import substring_pairs
+
+
+def test_tag_bucket_stats_salted_equals_window(spark):
+    rows = [(f"d{i:03d}", (i % 3)) for i in range(30)] + [("solo", 99)]
+    df = spark.createDataFrame(rows, "conv_id string, k int")
+    salted = tag_bucket_stats(df, "k", salt_buckets=8)
+    window = tag_bucket_stats(df, "k", salt_buckets=0)
+    snap = lambda d: {  # noqa: E731
+        (r.conv_id, r.k, r.bucket_n, r.bucket_rep) for r in d.collect()
+    }
+    assert snap(salted) == snap(window)
+    # collision-only: the singleton bucket never survives
+    assert all(n > 1 for _, _, n, _ in snap(salted))
+    # no window partition in the salted physical plan (AQE can split joins,
+    # not window partitions)
+    assert "Window" not in salted._jdf.queryExecution().executedPlan().toString()
+
+
+def _mega_fp_docs(spark, n):
+    """n docs sharing one long exact substring (every winnowing fingerprint
+    of the shared region is an n-member hot bucket) + unique md5 tails so
+    no two docs are exact dups and tails share no 16-char run."""
+    shared = "the same boilerplate preamble text block " * 12  # ~500 chars
+    rows = []
+    for i in range(n):
+        tail = "".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(3)
+        )
+        rows.append((f"m{i:06d}", shared + tail))
+    return spark.createDataFrame(rows, "conv_id string, doc_text string")
+
+
+def test_mega_fingerprint_star_edges_no_window_straggler(spark):
+    """A fingerprint bucket far above allpairs_max must produce star edges
+    to the bucket min, identically under the salted and window stat paths —
+    the substring-pass mirror of test_mega_band_star_edges_no_blowup."""
+    n = 2000
+    docs = _mega_fp_docs(spark, n).repartition(8)
+    cfg_s = DedupConfig(enable_substring_pass=True, band_salt_buckets=16)
+    cfg_w = DedupConfig(enable_substring_pass=True, band_salt_buckets=0)
+    pairs_s = {(r.a, r.b) for r in substring_pairs(docs, cfg_s).collect()}
+    pairs_w = {(r.a, r.b) for r in substring_pairs(docs, cfg_w).collect()}
+    assert pairs_s == pairs_w
+    # the full-membership hot buckets star every doc to the global min;
+    # boundary-window subset buckets may add a few extra (verified) stars
+    # to their own reps, but the total stays O(n) — never the n^2/2 clique
+    rep = f"m{0:06d}"
+    assert {(rep, f"m{i:06d}") for i in range(1, n)} <= pairs_s
+    assert len(pairs_s) < 3 * n
