@@ -62,3 +62,32 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+def test_ngram_hot_gram_cap_star_lockstep(spark, tmp_path):
+    """A min-gram shared by > _MINGRAM_HOT docs emits star candidates (O(g))
+    instead of the g^2/2 self-join — and the SQL oracle implements the SAME
+    rule, so both engines return the star pair set, not the clique."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from deduplicate_spark.entry_queries import q_dd_ngram_jaccard_pairs, SQL_DD_NGRAM
+
+    n = 80  # > _MINGRAM_HOT = 64
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    pd.DataFrame({"doc_id": list(range(n)), "text": [text] * n}).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    spark_pairs = {
+        (r.a, r.b) for r in q_dd_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    con = ddb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    duck_pairs = {(int(a), int(b)) for a, b in con.sql(SQL_DD_NGRAM).fetchall()}
+
+    star = {(0, i) for i in range(1, n)}
+    assert spark_pairs == star  # O(n) stars, not the n(n-1)/2 clique
+    assert duck_pairs == star   # oracle applies the identical cap
