@@ -17,11 +17,11 @@ the BATCH, not the accumulated history:
     one representative, mirroring the batch cascade.
   * near path: MinHash only on genuinely-new exact-distinct reps. LSH band
     buckets are PERSISTED STATE (conv_id, band_hash, appended per batch) —
-    history is never re-banded. Each batch broadcasts its own distinct band
-    hashes and probes the bucket state with that semi-filter, so only
-    buckets the batch actually touches are read into the pair logic. On a
-    real table format the bucket state would additionally be bucketed by
-    pmod(band_hash, N) for partition pruning of the probe scan.
+    history is never re-banded. The state tables are written PARTITIONED by
+    pmod(xxhash64(key), N) (the parquet analog of Iceberg bucket
+    partitioning), so each batch's probe prunes to the partitions its keys
+    hit at planning time and then semi-filters by the batch's distinct band
+    hashes — per-batch BYTES READ track the batch, not history.
   * the batch path's pair-volume caps are reused: small touched buckets
     produce all pairs with >= 1 new endpoint (never old x old); buckets
     above ``allpairs_max`` produce star edges from each new member to the
@@ -60,16 +60,54 @@ from deduplicate_spark.lineage import cut_lineage
 
 @dataclass
 class IncrementalState:
-    """Persisted table paths for the accumulated state."""
+    """Persisted table paths for the accumulated state.
+
+    The fat state tables (docs, signatures, band buckets) are written
+    PARTITIONED by a hash-mod column so per-batch probes read only the
+    partitions the batch actually touches (partition pruning on the
+    key-mod — the parquet analog of Iceberg bucket partitioning named in
+    the module docstring). ``reps_path`` is a compact (exact_sha, rep)
+    side table maintained incrementally — the exact fast path reads it
+    instead of re-aggregating the full docs state every batch.
+    """
 
     docs_path: str
     signatures_path: str
     pairs_path: str
     buckets_path: str | None = None
+    reps_path: str | None = None
+    state_partitions: int = 32
 
     def __post_init__(self) -> None:
         if self.buckets_path is None:
             self.buckets_path = self.signatures_path.rstrip("/") + "_buckets"
+        if self.reps_path is None:
+            self.reps_path = self.docs_path.rstrip("/") + "_reps"
+
+
+def pruned_state_read(
+    spark: SparkSession, path: str, mods: list[int], mod_col: str = "kmod"
+) -> DataFrame:
+    """Read a hash-mod-partitioned state table, pruned to the partitions in
+    ``mods``. The isin predicate on the partition column is resolved at
+    PLANNING time (PartitionFilters in the scan) — untouched partitions are
+    never listed, opened, or read; per-batch bytes scale with the batch's
+    key spread, not with accumulated history."""
+    return spark.read.parquet(path).filter(F.col(mod_col).isin(mods)).drop(mod_col)
+
+
+def _with_mod(df: DataFrame, key: str, n: int, mod_col: str = "kmod") -> DataFrame:
+    return df.withColumn(mod_col, F.pmod(F.xxhash64(key), F.lit(n)).cast("int"))
+
+
+def _collect_mods(df: DataFrame, key: str, n: int) -> list[int]:
+    """Distinct pmod values of df[key] — at most ``n`` ints, driver-safe."""
+    return [
+        r[0]
+        for r in df.select(
+            F.pmod(F.xxhash64(key), F.lit(n)).cast("int").alias("m")
+        ).distinct().collect()
+    ]
 
 
 def process_batch(
@@ -104,13 +142,13 @@ def process_batch(
         genuinely_new = new_docs
         n_instant = 0
     else:
-        # columnar 2-column scan of the docs state; min per sha is the
-        # "existing analysis" fast path (dupe_analysis.py:106-113)
-        old_reps = (
-            spark.read.parquet(state.docs_path)
-            .groupBy("exact_sha")
-            .agg(F.min("conv_id").alias("old_rep"))
-        )
+        # compact incremental (exact_sha, old_rep) side table — the
+        # "existing analysis" fast path (dupe_analysis.py:106-113) without
+        # re-aggregating the ever-growing docs state (VERDICT r2 #3). One
+        # row per distinct sha ever seen; first-writer-wins rep (the
+        # merge_runs priority, connectivity-equivalent: later smaller-id
+        # holders are linked by their own instant edges).
+        old_reps = spark.read.parquet(state.reps_path)
         matched = exact_new.join(old_reps, "exact_sha").transform(lambda _df: cut_lineage(_df, eager=True))
         n_instant = matched.count()
         instant_edges = matched.select(
@@ -143,13 +181,18 @@ def process_batch(
     if first_batch:
         touched_old = spark.createDataFrame([], "conv_id string, band_hash bigint")
     else:
-        # probe ONLY the buckets this batch touches: broadcast the batch's
-        # distinct band hashes against the persisted bucket state. History
-        # is never re-banded (the state IS the banding).
+        # probe ONLY the buckets this batch touches, at two levels:
+        # (1) PARTITION PRUNING — the state is written partitioned by
+        #     pmod(xxhash64(band_hash), N); the batch's <= N distinct mods
+        #     prune untouched partitions at planning time, so bytes READ
+        #     track the batch's key spread, not accumulated history;
+        # (2) the broadcast semi-filter of the batch's distinct band hashes
+        #     drops non-colliding rows inside the touched partitions.
+        # History is never re-banded (the state IS the banding).
         new_keys = new_buckets.select("band_hash").distinct()
-        touched_old = (
-            spark.read.parquet(state.buckets_path)
-            .join(F.broadcast(new_keys), "band_hash")
+        bmods = _collect_mods(new_keys, "band_hash", state.state_partitions)
+        touched_old = pruned_state_read(spark, state.buckets_path, bmods).join(
+            F.broadcast(new_keys), "band_hash"
         )
 
     combined = new_buckets.withColumn("is_new", F.lit(True)).unionByName(
@@ -199,12 +242,17 @@ def process_batch(
         sig_source = new_sigs
         docs_source = new_docs
     else:
-        old_needed = spark.read.parquet(state.signatures_path).join(
+        # endpoint fetches are partition-pruned the same way (signatures
+        # carry a ~1 KB minhash array per row — scanning all of history
+        # for a per-batch endpoint set is exactly the O(history) I/O this
+        # layout removes)
+        emods = _collect_mods(endpoints, "conv_id", state.state_partitions)
+        old_needed = pruned_state_read(spark, state.signatures_path, emods).join(
             F.broadcast(endpoints), "conv_id", "left_semi"
         )
         sig_source = new_sigs.unionByName(old_needed)
         docs_source = new_docs.unionByName(
-            spark.read.parquet(state.docs_path).join(
+            pruned_state_read(spark, state.docs_path, emods).join(
                 F.broadcast(endpoints), "conv_id", "left_semi"
             )
         )
@@ -218,11 +266,25 @@ def process_batch(
     all_edges = all_edges.transform(lambda _df: cut_lineage(_df, eager=True))
 
     # ---- append state ----------------------------------------------------
+    # fat tables are written partitioned by key-mod (see IncrementalState);
+    # the pairs log is consumed whole by current_clusters, no partitioning
     mode = "overwrite" if first_batch else "append"
-    new_docs.write.mode(mode).parquet(state.docs_path)
-    new_sigs.write.mode(mode).parquet(state.signatures_path)
-    new_buckets.write.mode(mode).parquet(state.buckets_path)
+    n_parts = state.state_partitions
+    _with_mod(new_docs, "conv_id", n_parts).write.mode(mode).partitionBy("kmod").parquet(
+        state.docs_path
+    )
+    _with_mod(new_sigs, "conv_id", n_parts).write.mode(mode).partitionBy("kmod").parquet(
+        state.signatures_path
+    )
+    _with_mod(new_buckets, "band_hash", n_parts).write.mode(mode).partitionBy(
+        "kmod"
+    ).parquet(state.buckets_path)
     all_edges.write.mode(mode).parquet(state.pairs_path)
+    # one (exact_sha, old_rep) row per sha first seen in this batch — the
+    # compact side table the next batch's exact fast path reads
+    genuinely_new.groupBy("exact_sha").agg(F.min("conv_id").alias("old_rep")).write.mode(
+        mode
+    ).parquet(state.reps_path)
 
     n_confirmed = confirmed.count()
     return {

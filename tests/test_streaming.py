@@ -160,3 +160,57 @@ def test_hot_bucket_cost_is_o_new_per_batch(spark, state):
     m2 = process_batch(spark, b2, state, cfg, first_batch=False, allpairs_max=4)
     # near edges bounded by O(new x bands), far below clique size
     assert 0 < m2["new_pairs"] <= 25 * cfg.lsh_bands
+
+
+def test_state_partition_pruning_and_compact_reps(spark, state, tmp_path):
+    """VERDICT r2 #3: per-batch state reads must be partition-pruned (bytes
+    track the batch, not history) and the exact fast path must read a
+    compact incremental sha->rep table, not re-aggregate the docs state."""
+    import os
+
+    import pandas as pd
+
+    from deduplicate_spark.streaming.incremental import (
+        pruned_state_read,
+        _collect_mods,
+    )
+
+    def batch(prefix, texts):
+        rows = [(f"{prefix}/{i:03d}", 0, "user", t, "", None) for i, t in enumerate(texts)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+            TRANSCRIPTS_SCHEMA,
+        )
+
+    cfg = DedupConfig(shingle_k=3, num_perm=8, lsh_bands=4, lsh_rows=2)
+    t1 = [f"first wave doc {i} with some distinct content body {i*7}" for i in range(20)]
+    t2 = [f"second wave doc {i} fresh content entirely different {i*13}" for i in range(20)]
+    process_batch(spark, batch("b0", t1), state, cfg, first_batch=True)
+    process_batch(spark, batch("b1", t2), state, cfg, first_batch=False)
+
+    # fat state is hash-mod partitioned on disk
+    bucket_dirs = {d for d in os.listdir(state.buckets_path) if d.startswith("kmod=")}
+    assert len(bucket_dirs) > 1
+
+    # a pruned probe's scan carries a PartitionFilter and returns only rows
+    # from the requested partitions — planning-time pruning, not a post-scan
+    # filter of everything
+    full = spark.read.parquet(state.buckets_path)
+    some_mods = sorted(
+        {int(d.split("=")[1]) for d in bucket_dirs}
+    )[: max(1, len(bucket_dirs) // 2)]
+    pruned = pruned_state_read(spark, state.buckets_path, some_mods)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kmod" in plan
+    # rows survive only from touched partitions (mod is derived from the key)
+    assert set(_collect_mods(pruned, "band_hash", state.state_partitions)) <= set(some_mods)
+    assert pruned.count() < full.count()
+
+    # reps side table: exactly one row per distinct sha ever seen — compact,
+    # no O(history) docs aggregation per batch
+    reps = spark.read.parquet(state.reps_path)
+    n_shas = (
+        spark.read.parquet(state.docs_path).select("exact_sha").distinct().count()
+    )
+    assert reps.count() == n_shas
+    assert set(reps.columns) == {"exact_sha", "old_rep"}
