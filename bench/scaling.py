@@ -63,9 +63,18 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--input-cache", default="/tmp/scaling_turns.parquet")
+    ap.add_argument("--skip-materialize", action="store_true",
+                    help="reuse --input-cache from a prior materialization")
     args = ap.parse_args()
 
-    n_turns = materialize_input(args.sf_dir, args.replicate, args.input_cache)
+    if args.skip_materialize and os.path.exists(args.input_cache):
+        from deduplicate_spark.session import get_spark
+
+        spark = get_spark("count_only", master="local[8]")
+        n_turns = spark.read.parquet(args.input_cache).count()
+        spark.stop()
+    else:
+        n_turns = materialize_input(args.sf_dir, args.replicate, args.input_cache)
 
     # interleave to cancel thermal/cache drift; keep the best of 2 per level
     walls = {args.low: [], args.high: []}

@@ -133,3 +133,45 @@ def test_reuse_planner(spark, tmp_path):
     assert plan2.computed == ["b3"]
     assert out2.count() == 3
     assert {r["doubled"] for r in out2.collect()} == {2, 4, 6}
+
+
+def test_subset_reuse_planner_greedy_combination_search(spark, tmp_path):
+    """Full S7 analog (dupe_analysis.py:125-157): a request over {A,B,C}
+    finds the prior {A,B} combined store via the largest-first combination
+    sweep, computes only C, and saves the merged result under the full-set
+    key so the third request is a pure load."""
+    from pyspark.sql import functions as F
+
+    from deduplicate_spark.sources.reuse import plan_and_load_subsets
+
+    root = str(tmp_path / "subset_reuse")
+    mk = lambda pfx, n: spark.createDataFrame(  # noqa: E731
+        [(f"{pfx}/{i}", len(pfx) * 10 + i) for i in range(n)],
+        "conv_id string, total_len int",
+    )
+    batches2 = {"A": mk("A", 3), "B": mk("B", 4)}
+    computed_log = []
+
+    def compute(df):
+        computed_log.append(1)
+        return df.withColumn("stage_col", F.lit("v1"))
+
+    out1, plan1 = plan_and_load_subsets(spark, root, "cfg", "docs", batches2, compute)
+    assert sorted(plan1.computed) == ["A", "B"] and out1.count() == 7
+    assert len(computed_log) == 2
+
+    # request a superset: {A,B} must be found AS A SET (one combined store),
+    # only C computed
+    batches3 = {"A": None, "B": None, "C": mk("C", 5)}
+    out2, plan2 = plan_and_load_subsets(spark, root, "cfg", "docs", batches3, compute)
+    assert plan2.reused == ["A+B"]
+    assert plan2.computed == ["C"]
+    assert len(computed_log) == 3
+    assert out2.count() == 12
+
+    # identical request again: pure full-set load, zero compute
+    out3, plan3 = plan_and_load_subsets(spark, root, "cfg", "docs", batches3, compute)
+    assert plan3.reused == ["A+B+C"] and plan3.computed == []
+    assert len(computed_log) == 3
+    assert out3.count() == 12
+    assert {r.conv_id for r in out3.collect()} == {r.conv_id for r in out2.collect()}

@@ -67,3 +67,23 @@ def test_write_report_csv(spark, tmp_path):
     content = "".join(open(f).read() for f in files)
     assert "to_delete" in content
     assert "s2/a" in content
+
+
+def test_dirs_adjacency_and_dir_info(spark):
+    """F4 full analog: the (dirpath, subdir) adjacency table and the
+    get_dir_info direct-children query (dupe_analysis.py:70-74, 564-584)."""
+    from deduplicate_spark.operators.rollup import dir_info, dirs_adjacency
+
+    docs = spark.createDataFrame(
+        [("a/x/1",), ("a/x/2",), ("a/y/3",), ("b/4",), ("root5",)],
+        "conv_id string",
+    )
+    edges = {(r.dirpath, r.subdir) for r in dirs_adjacency(docs).collect()}
+    assert edges == {("", "a"), ("", "b"), ("a", "a/x"), ("a", "a/y")}
+
+    info_a = {(r.path, r.kind) for r in dir_info(docs, "a").collect()}
+    assert info_a == {("a/x", "subdir"), ("a/y", "subdir")}
+    info_ax = {(r.path, r.kind) for r in dir_info(docs, "a/x").collect()}
+    assert info_ax == {("a/x/1", "file"), ("a/x/2", "file")}
+    info_root = {(r.path, r.kind) for r in dir_info(docs, "").collect()}
+    assert info_root == {("root5", "file"), ("a", "subdir"), ("b", "subdir")}
