@@ -81,6 +81,32 @@ def exact_representatives(docs: DataFrame, key: str = "exact_sha") -> DataFrame:
     )
 
 
+def relabel_components(components: DataFrame, docs: DataFrame) -> DataFrame:
+    """Map internal long node ids back to conv_id strings and relabel each
+    component with its min STRING id — the public cluster_id contract
+    (min conv_id) is independent of the internal representation.
+
+    Forced sort-merge ("merge" hint): on a 30-60% duplicate corpus BOTH
+    sides are corpus-sized, so a broadcast here is wrong at scale — and in
+    local mode it builds on a driver already holding the checkpointed
+    stages (measured: driver broadcast-build OOM at 6.5M turns with
+    everything else green)."""
+    id_map = docs.select(
+        F.xxhash64("conv_id").alias("_nid"), F.col("conv_id").alias("_conv")
+    )
+    w = Window.partitionBy("_comp")
+    return (
+        components.select(
+            F.col("conv_id").alias("_node"), F.col("cluster_id").alias("_comp")
+        )
+        .join(id_map.hint("merge"), F.col("_node") == F.col("_nid"))
+        .select(
+            F.col("_conv").alias("conv_id"),
+            F.min("_conv").over(w).alias("cluster_id"),
+        )
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     turns: DataFrame,
@@ -155,23 +181,7 @@ def run_pipeline(
         edges, max_rounds=config.cc_max_rounds, assume_deduped=True
     )
     if config.internal_long_ids:
-        # map long node ids back to conv_id strings and relabel each
-        # component with its min STRING id — the public cluster_id contract
-        # (min conv_id) is independent of the internal representation. The
-        # component table is dup docs only, so this join + window is tiny
-        # relative to the shuffles it made cheaper.
-        id_map = docs.select(
-            F.xxhash64("conv_id").alias("_nid"), F.col("conv_id").alias("_conv")
-        )
-        w = Window.partitionBy("_comp")
-        components = (
-            components.select(F.col("conv_id").alias("_node"), F.col("cluster_id").alias("_comp"))
-            .join(id_map, F.col("_node") == F.col("_nid"))
-            .select(
-                F.col("_conv").alias("conv_id"),
-                F.min("_conv").over(w).alias("cluster_id"),
-            )
-        )
+        components = relabel_components(components, docs)
     clusters = ckpt("clusters", components)
     acts = make_actions(clusters, docs)
     if not analyze_only:

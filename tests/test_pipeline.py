@@ -183,3 +183,25 @@ def test_internal_long_ids_output_identical_to_string_path(spark):
         off = snap(DedupConfig(internal_long_ids=False, **kw))
         assert on == off, f"long-id path diverged for {kw}"
         assert len(on[0]) > 0  # non-vacuous: dups exist in this corpus
+
+
+def test_relabel_join_never_broadcasts(spark):
+    """The id->string relabel join is corpus-sized on BOTH sides for real
+    dup rates — it must plan as a sort-merge join, never a driver-built
+    broadcast (measured OOM at 6.5M turns when Catalyst broadcast it)."""
+    from pyspark.sql import functions as F
+
+    from deduplicate_spark.pipeline import relabel_components
+
+    docs = spark.range(100).select(
+        F.concat(F.lit("conv/"), F.col("id")).alias("conv_id")
+    )
+    comps = spark.range(50).select(
+        F.xxhash64(F.concat(F.lit("conv/"), F.col("id"))).alias("conv_id"),
+        F.xxhash64(F.concat(F.lit("conv/"), F.col("id") % 10)).alias("cluster_id"),
+    )
+    out = relabel_components(comps, docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert out.count() == 50
