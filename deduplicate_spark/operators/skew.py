@@ -40,7 +40,14 @@ def tag_bucket_stats(
             .agg(F.sum("_pn").alias("bucket_n"), F.min("_pmin").alias("bucket_rep"))
             .filter(F.col("bucket_n") > 1)  # A1 prefilter: collision buckets only
         )
-        return df.join(stats, key)
+        # forced sort-merge: the stats side of a web-scale corpus is
+        # millions of collision buckets — a planner-estimate-driven
+        # broadcast builds it on the driver and OOMs exactly when the data
+        # gets interesting (measured at 6.5M turns: long-id stats rows
+        # squeeze under the 64 MB estimate threshold and the driver dies).
+        # SMJ is also what AQE's skew-join can split — the design reason
+        # this helper exists.
+        return df.join(stats.hint("merge"), key)
     w = Window.partitionBy(key)
     return df.select(
         *df.columns,

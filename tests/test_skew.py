@@ -25,8 +25,12 @@ def test_tag_bucket_stats_salted_equals_window(spark):
     # collision-only: the singleton bucket never survives
     assert all(n > 1 for _, _, n, _ in snap(salted))
     # no window partition in the salted physical plan (AQE can split joins,
-    # not window partitions)
-    assert "Window" not in salted._jdf.queryExecution().executedPlan().toString()
+    # not window partitions), and the stats join-back must be sort-merge —
+    # never a driver-built broadcast (OOM at scale, measured at 6.5M turns)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
 
 
 def _mega_fp_docs(spark, n):
