@@ -65,6 +65,7 @@ def main() -> None:
     ap.add_argument("--input-cache", default="/tmp/scaling_turns.parquet")
     ap.add_argument("--skip-materialize", action="store_true",
                     help="reuse --input-cache from a prior materialization")
+    ap.add_argument("--rounds", type=int, default=2)
     args = ap.parse_args()
 
     if args.skip_materialize and os.path.exists(args.input_cache):
@@ -76,9 +77,9 @@ def main() -> None:
     else:
         n_turns = materialize_input(args.sf_dir, args.replicate, args.input_cache)
 
-    # interleave to cancel thermal/cache drift; keep the best of 2 per level
+    # interleave to cancel thermal/cache drift; keep the best per level
     walls = {args.low: [], args.high: []}
-    for _ in range(2):
+    for _ in range(args.rounds):
         for cores in (args.low, args.high):
             walls[cores].append(run_once(cores, args.input_cache))
 
