@@ -223,7 +223,11 @@ def substring_pairs(
     small = annotated.filter(F.col("bucket_n") <= allpairs_max)
     l = small.select("fp", F.col("conv_id").alias("a"))
     r = small.select("fp", F.col("conv_id").alias("b"))
-    small_pairs = l.join(r, "fp").filter(F.col("a") < F.col("b")).select("a", "b")
+    # forced SMJ: both sides are the corpus-sized fingerprint table — same
+    # planner-estimate broadcast OOM class as the stats join-back (skew.py)
+    small_pairs = (
+        l.join(r.hint("merge"), "fp").filter(F.col("a") < F.col("b")).select("a", "b")
+    )
     large_pairs = (
         annotated.filter(F.col("bucket_n") > allpairs_max)
         .filter(F.col("conv_id") != F.col("bucket_rep"))
