@@ -10,6 +10,7 @@ pyav in production. Decoders run per Arrow batch, never per row.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,7 +69,11 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 ids.append(media_id)
                 nbytes.append(len(raw))
-                shas.append(np.int64(np.uint64(hash(raw) & 0xFFFFFFFFFFFFFFFF)))
+                # stable digest — builtin hash() is randomized per process
+                # (PYTHONHASHSEED), so identical payloads would fingerprint
+                # differently across executors/runs (VERDICT r3 #4)
+                digest = hashlib.blake2b(raw, digest_size=8).digest()
+                shas.append(np.int64(np.uint64(int.from_bytes(digest, "big"))))
                 if not raw:
                     feats.append([0.0] * feat_dim)
                     continue
@@ -103,19 +108,17 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def media_exact_dup_clusters(media: DataFrame) -> DataFrame:
+def media_exact_dup_clusters(media: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Exact binary dedup: sha2 over payload, group count>1 — the A1/G1
-    cascade applied to media bytes. Native (sha2 works on binary)."""
-    from pyspark.sql import Window
+    cascade applied to media bytes. Native (sha2 works on binary); group
+    stats come from the shared salted helper so a hot payload (a default
+    thumbnail duplicated 10^7 times) never lands in one window task."""
+    from deduplicate_spark.operators.skew import tag_bucket_stats
 
-    keyed = media.withColumn("payload_sha", F.sha2(F.col("payload"), 256))
-    w = Window.partitionBy("payload_sha")
-    return (
-        keyed.select(
-            "media_id",
-            F.count(F.lit(1)).over(w).alias("_n"),
-            F.min("media_id").over(w).alias("cluster_id"),
-        )
-        .filter(F.col("_n") > 1)
-        .select("media_id", "cluster_id")
+    keyed = media.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("payload_sha")
     )
+    tagged = tag_bucket_stats(
+        keyed, "payload_sha", id_col="media_id", salt_buckets=salt_buckets
+    )
+    return tagged.select("media_id", F.col("bucket_rep").alias("cluster_id"))

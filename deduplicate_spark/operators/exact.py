@@ -10,15 +10,18 @@ Cluster id = min(conv_id) within the group (stable, deterministic), instead
 of the reference's "cluster id = hash value" — same partition of the rows,
 friendlier ids.
 
-Scale notes: one shuffle on the hash key; the window variant avoids a
-second join. AQE handles stragglers; the key is a sha1 so skew only occurs
-for genuinely massive duplicate groups (handled fine by count>1 semantics).
+Scale notes: group stats are salted partial aggregations (skew.py) — the
+key is a sha1 so skew only occurs for genuinely massive duplicate groups
+(boilerplate docs, the EMPTY_SHA1 group), which is exactly the case the
+salted form + skew-splittable SMJ join-back is built for.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from deduplicate_spark.operators.skew import tag_bucket_stats
 
 
 def collision_groups(df: DataFrame, key: str) -> DataFrame:
@@ -43,25 +46,24 @@ def semi_join_collisions(df: DataFrame, key: str) -> DataFrame:
     return df.join(hot, key, "left_semi")
 
 
-def exact_clusters(docs: DataFrame, key: str = "exact_sha") -> DataFrame:
+def exact_clusters(
+    docs: DataFrame, key: str = "exact_sha", salt_buckets: int = 8
+) -> DataFrame:
     """(conv_id, cluster_id) for all members of exact-duplicate groups.
 
-    Single shuffle: window count + min over the hash partition; rows in
-    singleton groups are dropped (they are unique — reference reports only
-    count>1 groups, dupe_analysis.py:545-552).
+    Rows in singleton groups are dropped (they are unique — reference
+    reports only count>1 groups, dupe_analysis.py:545-552). Group count/min
+    come from the shared salted partial-agg helper + SMJ join-back, not a
+    ``Window.partitionBy(hash)``: a boilerplate exact group with 10^7+
+    members would be one window task AQE cannot split, while the join-back
+    is skew-splittable.
     """
-    w = Window.partitionBy(key)
-    return (
-        docs.filter(F.col(key).isNotNull())
-        .select(
-            "conv_id",
-            key,
-            F.count(F.lit(1)).over(w).alias("_n"),
-            F.min("conv_id").over(w).alias("cluster_id"),
-        )
-        .filter(F.col("_n") > 1)
-        .select("conv_id", "cluster_id")
+    tagged = tag_bucket_stats(
+        docs.filter(F.col(key).isNotNull()).select("conv_id", key),
+        key,
+        salt_buckets=salt_buckets,
     )
+    return tagged.select("conv_id", F.col("bucket_rep").alias("cluster_id"))
 
 
 def exact_pairs(docs: DataFrame, key: str = "exact_sha") -> DataFrame:

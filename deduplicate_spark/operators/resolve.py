@@ -20,12 +20,14 @@ side effect — downstream consumes `action='delete'` rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from deduplicate_spark.operators.skew import desc_nulls_last_key, salted_struct_min
 
 
 def elect_canonical(
-    clusters: DataFrame, docs: DataFrame, policy: str = "doc"
+    clusters: DataFrame, docs: DataFrame, policy: str = "doc", salt_buckets: int = 8
 ) -> DataFrame:
     """clusters(conv_id, cluster_id) x docs -> + canonical_conv_id.
 
@@ -36,14 +38,23 @@ def elect_canonical(
         greedy "superset directory" preference: a dir holding the dupes
         PLUS unique extras is kept; its full-dupe mirror is deleted whole
         (calc_max sorts kept_total/extra_total desc,
-        deduplicate.py:298-309; is_superset flag 133-178)."""
+        deduplicate.py:298-309; is_superset flag 133-178).
+
+    The election order is a lexicographic tuple ending in the unique
+    conv_id, so rank-1 is EXACTLY the argmin of an ascending-encoded sort
+    struct — computed as a salted algebraic ``min(struct(...))`` partial
+    aggregation + SMJ join-back (skew.py) rather than a
+    ``row_number() over (partition by cluster_id)`` window, which would put
+    a boilerplate mega-cluster in one task AQE cannot split."""
+    # docs is corpus-sized: forced SMJ so a planner under-estimate can never
+    # build it as a driver-side broadcast (measured OOM class at 6.5M turns)
     ranked = clusters.join(
-        docs.select("conv_id", "n_turns", "total_len"), "conv_id", "left"
+        docs.select("conv_id", "n_turns", "total_len").hint("merge"), "conv_id", "left"
     )
-    order = [
-        F.desc_nulls_last("n_turns"),
-        F.desc_nulls_last("total_len"),
-        F.asc("conv_id"),
+    order_keys = [
+        desc_nulls_last_key("n_turns"),
+        desc_nulls_last_key("total_len"),
+        F.col("conv_id"),
     ]
     if policy == "group":
         grp_of = lambda c: F.split(F.col(c), "/").getItem(0)  # noqa: E731
@@ -67,15 +78,21 @@ def elect_canonical(
         ranked = ranked.withColumn("_grp", grp_of("conv_id")).join(
             F.broadcast(grp_stats), "_grp", "left"
         )
-        order = [F.desc("_grp_extras"), F.desc("_grp_dups"), *order]
-    ranked = ranked.withColumn(
-        "_rank",
-        F.row_number().over(Window.partitionBy("cluster_id").orderBy(*order)),
+        order_keys = [
+            desc_nulls_last_key("_grp_extras"),
+            desc_nulls_last_key("_grp_dups"),
+            *order_keys,
+        ]
+    ord_struct = F.struct(
+        *[k.alias(f"k{i}") for i, k in enumerate(order_keys[:-1])],
+        F.col("conv_id").alias("cid"),
     )
-    canon = ranked.filter(F.col("_rank") == 1).select(
-        "cluster_id", F.col("conv_id").alias("canonical_conv_id")
-    )
-    return ranked.join(canon, "cluster_id").select(
+    canon = salted_struct_min(
+        ranked.select("cluster_id", ord_struct.alias("_ord")),
+        "cluster_id",
+        salt_buckets=salt_buckets,
+    ).select("cluster_id", F.col("_ord.cid").alias("canonical_conv_id"))
+    return ranked.join(canon.hint("merge"), "cluster_id").select(
         "conv_id", "cluster_id", "canonical_conv_id", "n_turns", "total_len"
     )
 

@@ -54,3 +54,43 @@ def tag_bucket_stats(
         F.count(F.lit(1)).over(w).alias("bucket_n"),
         F.min(id_col).over(w).alias("bucket_rep"),
     ).filter(F.col("bucket_n") > 1)
+
+
+def salted_struct_min(
+    df: DataFrame,
+    key: str | list[str],
+    ord_col: str = "_ord",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """``groupBy(key).agg(min(ord_col))`` as a two-level SALTED algebraic
+    aggregation — the argmin building block for every "rank-1 row per hot
+    key" stage (exact representatives, component relabel, canonical
+    election).
+
+    min over a struct is Spark's lexicographic tuple-min, so when the last
+    struct field is a unique tie-break the result is EXACTLY the
+    ``row_number()==1`` row of the corresponding window — but computed as
+    partial aggregations a mega-group cannot straggle: level 1 reduces
+    within ``salt_buckets`` independent salt groups (on top of Spark's own
+    map-side combine), level 2 combines ``salt_buckets`` rows per key.
+    Exact because min is associative + commutative.
+
+    Salt is ``xxhash64(ord_col)`` — deterministic (no
+    ``spark_partition_id()``, which would mark the plan nondeterministic)
+    and uniform even when all hot-group rows share the bucket key.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if salt_buckets and salt_buckets > 1:
+        partial = (
+            df.withColumn("_salt", F.pmod(F.xxhash64(ord_col), F.lit(salt_buckets)))
+            .groupBy(*keys, "_salt")
+            .agg(F.min(ord_col).alias("_pm"))
+        )
+        return partial.groupBy(*keys).agg(F.min("_pm").alias(ord_col))
+    return df.groupBy(*keys).agg(F.min(ord_col).alias(ord_col))
+
+
+def desc_nulls_last_key(col, sentinel: int = 2**62):
+    """Encode ``desc_nulls_last(col)`` as an ascending numeric sort key for
+    struct-min argmin: negate, send nulls to a huge sentinel."""
+    return F.coalesce(-F.col(col).cast("long"), F.lit(sentinel).cast("long"))

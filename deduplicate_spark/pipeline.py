@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
@@ -32,6 +32,7 @@ from deduplicate_spark.operators.minhash import compute_signatures
 from deduplicate_spark.operators.resolve import actions as make_actions
 from deduplicate_spark.operators.resolve import cluster_report
 from deduplicate_spark.operators.simhash import confirm_pairs
+from deduplicate_spark.operators.skew import salted_struct_min, tag_bucket_stats
 from deduplicate_spark.operators.substring import substring_pairs
 from deduplicate_spark.lineage import cut_lineage
 
@@ -48,40 +49,51 @@ class PipelineResult:
     report: DataFrame
 
 
-def exact_star_edges(docs: DataFrame, key: str = "exact_sha") -> DataFrame:
+def exact_star_edges(
+    docs: DataFrame, key: str = "exact_sha", salt_buckets: int = 8
+) -> DataFrame:
     """(rep, member) edges within each exact-hash group — linear in group
     size (vs the reference's all-pairs cliques, deduplicate.py:497-528);
-    connectivity-equivalent for the CC stage."""
-    w = Window.partitionBy(key)
-    return (
-        docs.filter(F.col(key).isNotNull())
-        .select(
-            "conv_id",
-            F.min("conv_id").over(w).alias("rep"),
-            F.count(F.lit(1)).over(w).alias("_n"),
-        )
-        .filter((F.col("_n") > 1) & (F.col("conv_id") != F.col("rep")))
-        .select(
-            F.col("rep").alias("a"),
-            F.col("conv_id").alias("b"),
-            F.lit("exact").alias("evidence"),
-        )
+    connectivity-equivalent for the CC stage.
+
+    Skew-safe: group count/min come from the shared salted partial-agg
+    helper, not a ``Window.partitionBy(exact_sha)`` — a boilerplate exact
+    group with 10^7+ members (or the EMPTY_SHA1 group) would otherwise be
+    one window task AQE cannot split."""
+    tagged = tag_bucket_stats(
+        docs.filter(F.col(key).isNotNull()).select("conv_id", key),
+        key,
+        salt_buckets=salt_buckets,
+    )
+    return tagged.filter(F.col("conv_id") != F.col("bucket_rep")).select(
+        F.col("bucket_rep").alias("a"),
+        F.col("conv_id").alias("b"),
+        F.lit("exact").alias("evidence"),
     )
 
 
-def exact_representatives(docs: DataFrame, key: str = "exact_sha") -> DataFrame:
+def exact_representatives(
+    docs: DataFrame, key: str = "exact_sha", salt_buckets: int = 8
+) -> DataFrame:
     """One doc per distinct exact hash (min conv_id), excluding empty docs —
-    the only rows the expensive signature kernel sees."""
-    w = Window.partitionBy(key).orderBy("conv_id")
-    return (
-        docs.filter(F.col("total_len") > 0)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    the only rows the expensive signature kernel sees.
+
+    Salted algebraic argmin + semi-join-back instead of a
+    ``row_number() over (partition by exact_sha)`` window: the join key
+    (sha, conv_id) is near-unique so the probe side has no hot key, and the
+    argmin is a partial aggregation a mega-group cannot straggle."""
+    src = docs.filter((F.col("total_len") > 0) & F.col(key).isNotNull())
+    best = salted_struct_min(
+        src.select(key, F.col("conv_id").alias("_ord")),
+        key,
+        salt_buckets=salt_buckets,
+    ).select(key, F.col("_ord").alias("conv_id"))
+    return src.join(best.hint("merge"), [key, "conv_id"], "left_semi")
 
 
-def relabel_components(components: DataFrame, docs: DataFrame) -> DataFrame:
+def relabel_components(
+    components: DataFrame, docs: DataFrame, salt_buckets: int = 8
+) -> DataFrame:
     """Map internal long node ids back to conv_id strings and relabel each
     component with its min STRING id — the public cluster_id contract
     (min conv_id) is independent of the internal representation.
@@ -90,20 +102,25 @@ def relabel_components(components: DataFrame, docs: DataFrame) -> DataFrame:
     sides are corpus-sized, so a broadcast here is wrong at scale — and in
     local mode it builds on a driver already holding the checkpointed
     stages (measured: driver broadcast-build OOM at 6.5M turns with
-    everything else green)."""
+    everything else green).
+
+    The min-string-per-component is a salted partial aggregation + SMJ
+    join-back, NOT a ``Window.partitionBy(_comp)``: a boilerplate
+    mega-cluster would land in a single window task; the join-back on
+    ``_comp`` is a sort-merge join AQE's skew handling CAN split."""
     id_map = docs.select(
         F.xxhash64("conv_id").alias("_nid"), F.col("conv_id").alias("_conv")
     )
-    w = Window.partitionBy("_comp")
-    return (
-        components.select(
-            F.col("conv_id").alias("_node"), F.col("cluster_id").alias("_comp")
-        )
-        .join(id_map.hint("merge"), F.col("_node") == F.col("_nid"))
-        .select(
-            F.col("_conv").alias("conv_id"),
-            F.min("_conv").over(w).alias("cluster_id"),
-        )
+    mapped = components.select(
+        F.col("conv_id").alias("_node"), F.col("cluster_id").alias("_comp")
+    ).join(id_map.hint("merge"), F.col("_node") == F.col("_nid"))
+    comp_min = salted_struct_min(
+        mapped.select("_comp", F.col("_conv").alias("_ord")),
+        "_comp",
+        salt_buckets=salt_buckets,
+    ).select("_comp", F.col("_ord").alias("cluster_id"))
+    return mapped.join(comp_min.hint("merge"), "_comp").select(
+        F.col("_conv").alias("conv_id"), "cluster_id"
     )
 
 
@@ -146,8 +163,8 @@ def run_pipeline(
     # EMPTY_SHA1 and cluster together when empty_cluster=True (reference
     # behavior); False leaves them untouched by every stage.
     exact_src = kdocs if config.empty_cluster else kdocs.filter(F.col("total_len") > 0)
-    exact_edges = exact_star_edges(exact_src)
-    reps = exact_representatives(kdocs)
+    exact_edges = exact_star_edges(exact_src, salt_buckets=config.band_salt_buckets)
+    reps = exact_representatives(kdocs, salt_buckets=config.band_salt_buckets)
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
     # kernel only sees reps that collide on prefix_sha. NOT applied to the
@@ -181,7 +198,9 @@ def run_pipeline(
         edges, max_rounds=config.cc_max_rounds, assume_deduped=True
     )
     if config.internal_long_ids:
-        components = relabel_components(components, docs)
+        components = relabel_components(
+            components, docs, salt_buckets=config.band_salt_buckets
+        )
     clusters = ckpt("clusters", components)
     acts = make_actions(clusters, docs)
     if not analyze_only:

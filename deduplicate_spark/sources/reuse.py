@@ -114,10 +114,12 @@ def plan_and_load_subsets(
     (dupe_analysis.py:125-157):
 
     1. full-set store exists -> pure load (the reference's cache hit);
-    2. else sweep combinations of the missing keys largest-first; the
-       first existing subset store per size is taken and its keys removed
-       (mirrors the reference's loop: one find per size, size decrements
-       every sweep);
+    2. else sweep combinations of the missing keys largest-first; every
+       existing subset store found at a size is taken and its keys removed,
+       re-scanning at the SAME size until a sweep finds nothing (deliberate
+       deviation from the reference loop, which decrements after the first
+       hit and so recomputes {C,D} for a {A,B,C,D} request with prior
+       {A,B}+{C,D} stores — ADVICE r3; still bounded by max_subset_search);
     3. leftover singletons are reused-or-computed individually;
     4. everything merges first-writer-wins (S8, merge_runs) and the merged
        table is saved under the full-set key for the next request.
@@ -143,14 +145,18 @@ def plan_and_load_subsets(
     stores: list[CheckpointStore] = []
     size = len(remaining) - 1
     while remaining and size > 0:
+        size = min(size, len(remaining))
+        found = False
         for comb in itertools.combinations(sorted(remaining), size):
             st = _subset_store(spark, root, config_hash, comb)
             if st.is_complete(stage):
                 stores.append(st)
                 plan.reused.append("+".join(comb))
                 remaining -= set(comb)
+                found = True
                 break
-        size -= 1
+        if not found:
+            size -= 1
 
     for key in sorted(remaining):
         st = _single_store(spark, root, config_hash, key)

@@ -175,3 +175,45 @@ def test_subset_reuse_planner_greedy_combination_search(spark, tmp_path):
     assert len(computed_log) == 3
     assert out3.count() == 12
     assert {r.conv_id for r in out3.collect()} == {r.conv_id for r in out2.collect()}
+
+
+def test_subset_reuse_rescans_at_same_size(spark, tmp_path):
+    """ADVICE r3: prior {A,B} and {C,D} stores must BOTH be reused for a
+    {A,B,C,D} request — the sweep re-scans at the same size after a hit
+    instead of decrementing (deliberate deviation from the reference loop,
+    which would recompute C and D)."""
+    from pyspark.sql import functions as F
+
+    from deduplicate_spark.sources.reuse import plan_and_load_subsets
+
+    root = str(tmp_path / "subset_rescan")
+    mk = lambda pfx, n: spark.createDataFrame(  # noqa: E731
+        [(f"{pfx}/{i}", len(pfx) * 10 + i) for i in range(n)],
+        "conv_id string, total_len int",
+    )
+    computed_log = []
+
+    def compute(df):
+        computed_log.append(1)
+        return df.withColumn("stage_col", F.lit("v1"))
+
+    plan_and_load_subsets(
+        spark, root, "cfg", "docs", {"A": mk("A", 2), "B": mk("B", 3)}, compute
+    )
+    plan_and_load_subsets(
+        spark, root, "cfg", "docs", {"C": mk("C", 4), "D": mk("D", 5)}, compute
+    )
+    assert len(computed_log) == 4
+
+    out, plan = plan_and_load_subsets(
+        spark,
+        root,
+        "cfg",
+        "docs",
+        {"A": None, "B": None, "C": None, "D": None},
+        compute,
+    )
+    assert sorted(plan.reused) == ["A+B", "C+D"]
+    assert plan.computed == []
+    assert len(computed_log) == 4  # nothing recomputed
+    assert out.count() == 14

@@ -49,3 +49,33 @@ def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     ts = sorted(r["frame_ts_ms"] for r in frames)
     assert ts == [0, 1000, 2000, 3000]
+
+
+def test_payload_sha_stable_across_runs(media):
+    """VERDICT r3 #4: the payload fingerprint must be a stable digest, not
+    builtin hash() (randomized per process via PYTHONHASHSEED) — identical
+    payloads must produce identical payload_sha on every executor and run."""
+    import hashlib
+
+    run = lambda: {  # noqa: E731
+        r["media_id"]: r["payload_sha"]
+        for r in image_features(media.filter(F.col("kind") == "image")).collect()
+    }
+    first, second = run(), run()
+    assert first == second
+    assert first["m1"] == first["m2"]  # same bytes -> same digest
+    expected = int.from_bytes(
+        hashlib.blake2b(bytes(range(256)) * 8, digest_size=8).digest(), "big"
+    )
+    assert first["m1"] == expected - (1 << 64) * (expected >= 1 << 63)
+
+
+def test_media_dup_clusters_skew_safe_plan(media):
+    plan = (
+        media_exact_dup_clusters(media, salt_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" not in plan
