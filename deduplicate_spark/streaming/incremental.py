@@ -7,9 +7,16 @@ across stores. This module adds the Structured Streaming ingestion surface a
 production transcript pipeline needs, with per-batch work proportional to
 the BATCH, not the accumulated history:
 
-  * stream of turn rows -> per-batch assembly (a batch carries whole
-    conversations; cross-batch conversations are out of scope for v1 and
-    flagged via metrics)
+  * stream of turn rows -> per-batch assembly. Two modes:
+      - immediate (``process_batch``): a batch carries whole conversations;
+      - buffered (``process_batch_buffered``): conversations MAY SPAN
+        batches — turns are buffered in conv-partitioned state and a
+        conversation enters the cascade only after ``buffer_lag`` quiet
+        batches (the watermark/session-window pattern: late data within the
+        lag re-opens the session; later-than-lag turns are counted in the
+        ``late_turns`` metric and dropped, exactly Spark's watermark
+        contract). No retraction machinery needed — every conversation is
+        hashed exactly once, fully assembled.
   * exact fast path: new docs whose exact_sha is already known produce an
     instant edge to the minimal historical holder of that sha (written to
     the pairs state — the reference merge-test contract) and never reach
@@ -21,7 +28,8 @@ the BATCH, not the accumulated history:
     pmod(xxhash64(key), N) (the parquet analog of Iceberg bucket
     partitioning), so each batch's probe prunes to the partitions its keys
     hit at planning time and then semi-filters by the batch's distinct band
-    hashes — per-batch BYTES READ track the batch, not history.
+    hashes — per-batch BYTES READ track the batch, not history. The compact
+    (exact_sha, rep) side table is partitioned and pruned the same way.
   * the batch path's pair-volume caps are reused: small touched buckets
     produce all pairs with >= 1 new endpoint (never old x old); buckets
     above ``allpairs_max`` produce star edges from each new member to the
@@ -76,6 +84,12 @@ class IncrementalState:
     pairs_path: str
     buckets_path: str | None = None
     reps_path: str | None = None
+    # buffered mode (cross-batch conversations): raw-turn buffer
+    # (conv-mod partitioned), pending-conv log (partitioned by the batch
+    # seq that last saw the conv), released-conv set (conv-mod partitioned)
+    turns_path: str | None = None
+    pending_path: str | None = None
+    released_path: str | None = None
     state_partitions: int = 32
 
     def __post_init__(self) -> None:
@@ -83,6 +97,12 @@ class IncrementalState:
             self.buckets_path = self.signatures_path.rstrip("/") + "_buckets"
         if self.reps_path is None:
             self.reps_path = self.docs_path.rstrip("/") + "_reps"
+        if self.turns_path is None:
+            self.turns_path = self.docs_path.rstrip("/") + "_turns"
+        if self.pending_path is None:
+            self.pending_path = self.docs_path.rstrip("/") + "_pending"
+        if self.released_path is None:
+            self.released_path = self.docs_path.rstrip("/") + "_released"
 
 
 def pruned_state_read(
@@ -148,7 +168,15 @@ def process_batch(
         # row per distinct sha ever seen; first-writer-wins rep (the
         # merge_runs priority, connectivity-equivalent: later smaller-id
         # holders are linked by their own instant edges).
-        old_reps = spark.read.parquet(state.reps_path)
+        # partition-pruned like the fat tables (VERDICT r3 #3): the table is
+        # compact (2 columns) but grows with distinct-sha history — pruning
+        # by the batch's sha-mods keeps the exact fast path's bytes O(batch).
+        # Mods come from new_docs (a superset of exact_new's shas) so the
+        # anti-join below sees every historical sha the batch could hit.
+        smods = _collect_mods(
+            new_docs.select("exact_sha").distinct(), "exact_sha", state.state_partitions
+        )
+        old_reps = pruned_state_read(spark, state.reps_path, smods)
         matched = exact_new.join(old_reps, "exact_sha").transform(lambda _df: cut_lineage(_df, eager=True))
         n_instant = matched.count()
         instant_edges = matched.select(
@@ -281,10 +309,13 @@ def process_batch(
     ).parquet(state.buckets_path)
     all_edges.write.mode(mode).parquet(state.pairs_path)
     # one (exact_sha, old_rep) row per sha first seen in this batch — the
-    # compact side table the next batch's exact fast path reads
-    genuinely_new.groupBy("exact_sha").agg(F.min("conv_id").alias("old_rep")).write.mode(
-        mode
-    ).parquet(state.reps_path)
+    # compact side table the next batch's exact fast path reads; sha-mod
+    # partitioned like the fat tables so that read stays pruned as history grows
+    _with_mod(
+        genuinely_new.groupBy("exact_sha").agg(F.min("conv_id").alias("old_rep")),
+        "exact_sha",
+        n_parts,
+    ).write.mode(mode).partitionBy("kmod").parquet(state.reps_path)
 
     n_confirmed = confirmed.count()
     return {
@@ -294,6 +325,131 @@ def process_batch(
         "new_pairs": n_confirmed,
         "new_edges_total": all_edges.count(),
     }
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def _release(
+    spark: SparkSession,
+    convs: DataFrame,
+    state: IncrementalState,
+    config: DedupConfig,
+    allpairs_max: int,
+) -> dict[str, int]:
+    """Feed fully-buffered conversations through the dedup cascade exactly
+    once: read their complete turn history (conv-mod pruned + broadcast
+    semi-filter), run the normal batch cascade, mark them released."""
+    n = state.state_partitions
+    convs = convs.transform(lambda _df: cut_lineage(_df, eager=True))
+    k = convs.count()
+    metrics = {"released_convs": k}
+    if not k:
+        return metrics
+    rmods = _collect_mods(convs, "conv_id", n)
+    rel_turns = pruned_state_read(spark, state.turns_path, rmods).join(
+        F.broadcast(convs), "conv_id", "left_semi"
+    )
+    first_release = not _table_exists(spark, state.docs_path)
+    sub = process_batch(
+        spark,
+        rel_turns,
+        state,
+        config,
+        first_batch=first_release,
+        allpairs_max=allpairs_max,
+    )
+    metrics.update(sub)
+    rel_mode = "overwrite" if not _table_exists(spark, state.released_path) else "append"
+    _with_mod(convs, "conv_id", n).write.mode(rel_mode).partitionBy("kmod").parquet(
+        state.released_path
+    )
+    return metrics
+
+
+def process_batch_buffered(
+    spark: SparkSession,
+    turns_batch: DataFrame,
+    state: IncrementalState,
+    config: DedupConfig | None = None,
+    batch_seq: int = 0,
+    buffer_lag: int = 1,
+    allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
+) -> dict[str, int]:
+    """Cross-batch conversation mode: buffer turns, release a conversation
+    into the cascade only once it has been QUIET for ``buffer_lag`` batches
+    (the session-window/watermark pattern — a conversation keeps growing
+    while turns keep arriving; ``buffer_lag`` plays the watermark delay).
+
+    Per-batch reads are O(recent): the pending log is partitioned by the
+    batch seq that saw the conv, so release-candidate selection touches
+    exactly 1 + ``buffer_lag`` seq partitions, and the turn buffer is read
+    conv-mod pruned for released convs only. Turns arriving for an
+    already-released conversation are DROPPED and counted in
+    ``late_turn_convs`` — the same contract as Spark's watermark late-data
+    drop; size ``buffer_lag`` like a watermark. ``batch_seq`` must increase
+    by 1 per batch starting at 0 (0 resets the buffer state); call
+    :func:`flush_buffered` at stream end to release everything pending."""
+    config = config or DedupConfig()
+    n = state.state_partitions
+    turns_batch = turns_batch.transform(lambda _df: cut_lineage(_df, eager=True))
+    batch_convs = turns_batch.select("conv_id").distinct()
+
+    metrics = {"late_turn_convs": 0, "released_convs": 0}
+    if batch_seq > 0 and _table_exists(spark, state.released_path):
+        cmods = _collect_mods(batch_convs, "conv_id", n)
+        released = pruned_state_read(spark, state.released_path, cmods)
+        late = batch_convs.join(released, "conv_id", "left_semi").transform(
+            lambda _df: cut_lineage(_df, eager=True)
+        )
+        metrics["late_turn_convs"] = late.count()
+        if metrics["late_turn_convs"]:
+            turns_batch = turns_batch.join(late, "conv_id", "left_anti")
+            batch_convs = batch_convs.join(late, "conv_id", "left_anti")
+
+    wmode = "overwrite" if batch_seq == 0 else "append"
+    _with_mod(turns_batch, "conv_id", n).write.mode(wmode).partitionBy("kmod").parquet(
+        state.turns_path
+    )
+    batch_convs.withColumn("seen_seq", F.lit(batch_seq)).write.mode(wmode).partitionBy(
+        "seen_seq"
+    ).parquet(state.pending_path)
+
+    release_seq = batch_seq - buffer_lag
+    if release_seq >= 0:
+        pending = spark.read.parquet(state.pending_path)
+        # exactly-once: each seq partition is scanned as candidates exactly
+        # once (at seq + lag); a conv re-seen within the lag window is
+        # anti-joined out here and becomes a candidate again at its LAST
+        # quiet point
+        cand = pending.filter(F.col("seen_seq") == release_seq).select("conv_id")
+        recent = pending.filter(F.col("seen_seq") > release_seq).select("conv_id")
+        metrics.update(
+            _release(spark, cand.join(recent, "conv_id", "left_anti"), state, config, allpairs_max)
+        )
+    return metrics
+
+
+def flush_buffered(
+    spark: SparkSession,
+    state: IncrementalState,
+    config: DedupConfig | None = None,
+    allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
+) -> dict[str, int]:
+    """Stream-end flush: release every conversation still in the buffer
+    (terminal operation — reads the whole pending log once)."""
+    config = config or DedupConfig()
+    pend = spark.read.parquet(state.pending_path).select("conv_id").distinct()
+    if _table_exists(spark, state.released_path):
+        pend = pend.join(
+            spark.read.parquet(state.released_path), "conv_id", "left_anti"
+        )
+    return _release(spark, pend, state, config, allpairs_max)
 
 
 def current_clusters(spark: SparkSession, state: IncrementalState, config: DedupConfig | None = None) -> DataFrame:
@@ -314,9 +470,13 @@ def stream_turns(
     state: IncrementalState,
     config: DedupConfig | None = None,
     checkpoint_location: str | None = None,
+    buffer_lag: int | None = None,
 ):
     """Structured Streaming wrapper: watch a parquet directory of turn files
-    and fold each micro-batch into the dedup state via foreachBatch."""
+    and fold each micro-batch into the dedup state via foreachBatch.
+    ``buffer_lag`` switches to the cross-batch-conversation buffered mode
+    (see :func:`process_batch_buffered`); remember to call
+    :func:`flush_buffered` after stopping the stream."""
     from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
 
     config = config or DedupConfig()
@@ -326,9 +486,16 @@ def stream_turns(
         .parquet(source_path)
     )
 
-    seen = {"first": True}
+    seen = {"first": True, "seq": 0}
 
     def handle(batch_df: DataFrame, _epoch: int) -> None:
+        if buffer_lag is not None:
+            process_batch_buffered(
+                spark, batch_df, state, config,
+                batch_seq=seen["seq"], buffer_lag=buffer_lag,
+            )
+            seen["seq"] += 1
+            return
         process_batch(spark, batch_df, state, config, first_batch=seen["first"])
         seen["first"] = False
 

@@ -207,10 +207,106 @@ def test_state_partition_pruning_and_compact_reps(spark, state, tmp_path):
     assert pruned.count() < full.count()
 
     # reps side table: exactly one row per distinct sha ever seen — compact,
-    # no O(history) docs aggregation per batch
+    # no O(history) docs aggregation per batch — and sha-mod partitioned so
+    # the exact fast path's read is pruned like the fat tables (VERDICT r3 #3)
+    reps_dirs = {d for d in os.listdir(state.reps_path) if d.startswith("kmod=")}
+    assert len(reps_dirs) > 1
     reps = spark.read.parquet(state.reps_path)
     n_shas = (
         spark.read.parquet(state.docs_path).select("exact_sha").distinct().count()
     )
     assert reps.count() == n_shas
-    assert set(reps.columns) == {"exact_sha", "old_rep"}
+    assert set(reps.columns) == {"exact_sha", "old_rep", "kmod"}
+    some_rmods = sorted(int(d.split("=")[1]) for d in reps_dirs)[
+        : max(1, len(reps_dirs) // 2)
+    ]
+    pruned_reps = pruned_state_read(spark, state.reps_path, some_rmods)
+    rplan = pruned_reps._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in rplan and "kmod" in rplan
+    assert pruned_reps.count() < reps.count()
+    # pruning must preserve correctness: every sha in the pruned partitions
+    # has its mod in the requested set
+    assert set(
+        _collect_mods(pruned_reps, "exact_sha", state.state_partitions)
+    ) <= set(some_rmods)
+
+
+def test_buffered_cross_batch_conversation_equals_clean_run(spark, state):
+    """VERDICT r3 #8: conversations SPLIT ACROSS micro-batches. Every
+    multi-turn conversation's turns are split by parity across two batches;
+    buffered mode must assemble each conversation exactly once, fully, and
+    the final clusters must equal a clean one-shot batch run."""
+    from deduplicate_spark.pipeline import run_pipeline
+    from deduplicate_spark.streaming.incremental import (
+        current_clusters,
+        flush_buffered,
+        process_batch_buffered,
+    )
+
+    turns_pd, _ = generate_transcripts(n_base=30, seed=31)
+    cfg = DedupConfig()
+    parts = [
+        turns_pd[turns_pd["turn_idx"] % 2 == 0],
+        turns_pd[turns_pd["turn_idx"] % 2 == 1],
+    ]
+    for seq, part in enumerate(parts):
+        m = process_batch_buffered(
+            spark,
+            spark.createDataFrame(part, TRANSCRIPTS_SCHEMA),
+            state,
+            cfg,
+            batch_seq=seq,
+            buffer_lag=1,
+        )
+        # every conv is active in both batches: nothing may release early
+        # (a released partial conversation would be hashed incomplete)
+        assert m["released_convs"] == 0 and m["late_turn_convs"] == 0
+    mf = flush_buffered(spark, state, cfg)
+    assert mf["released_convs"] == turns_pd["conv_id"].nunique()
+
+    stream_clusters = _cluster_partition(current_clusters(spark, state, cfg))
+    clean = run_pipeline(
+        spark, spark.createDataFrame(turns_pd, TRANSCRIPTS_SCHEMA), cfg
+    )
+    assert stream_clusters == _cluster_partition(clean.clusters)
+
+
+def test_buffered_release_timing_and_late_turns(spark, state):
+    """A conversation releases after buffer_lag quiet batches; turns that
+    arrive after release are dropped + counted (watermark late-data
+    contract), and the released doc contains exactly the buffered turns."""
+    import pandas as pd
+
+    from deduplicate_spark.streaming.incremental import process_batch_buffered
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rows, columns=cols), TRANSCRIPTS_SCHEMA
+    )
+    cfg = DedupConfig()
+    m0 = process_batch_buffered(
+        spark,
+        mk([("A", 0, "user", "alpha turn zero content", "", None),
+            ("B", 0, "user", "bravo turn zero content", "", None)]),
+        state, cfg, batch_seq=0, buffer_lag=1,
+    )
+    assert m0["released_convs"] == 0
+    # A grows; B is quiet -> B releases at seq 1
+    m1 = process_batch_buffered(
+        spark,
+        mk([("A", 1, "user", "alpha turn one content", "", None)]),
+        state, cfg, batch_seq=1, buffer_lag=1,
+    )
+    assert m1["released_convs"] == 1
+    # late turn for released B: dropped + counted; quiet A releases now
+    m2 = process_batch_buffered(
+        spark,
+        mk([("B", 1, "user", "bravo late turn", "", None)]),
+        state, cfg, batch_seq=2, buffer_lag=1,
+    )
+    assert m2["late_turn_convs"] == 1
+    assert m2["released_convs"] == 1
+
+    docs = {r.conv_id: r for r in spark.read.parquet(state.docs_path).collect()}
+    assert docs["A"].n_turns == 2  # full cross-batch assembly
+    assert docs["B"].n_turns == 1  # late turn dropped, not re-hashed
