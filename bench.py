@@ -40,16 +40,25 @@ def main() -> None:
     # localCheckpoint materializes, straggler tasks of the pre-checkpoint
     # stages report to accumulators the driver has already GC'd —
     # DAGScheduler logs "attempted to access non-existent accumulator" at
-    # ERROR though rc=0 and results are unaffected. Silence that one logger
-    # for the bench run so the captured tail is clean evidence.
+    # ERROR though rc=0 and results are unaffected. Attach a RegexFilter
+    # DENYing exactly that one message (ADVICE r3 — a FATAL level on the
+    # whole logger would also hide real scheduler errors like lost
+    # executors/aborted stages, weakening the clean-tail evidence).
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
+        Result = jvm.org.apache.logging.log4j.core.Filter.Result
+        # the ERROR's message text is "Failed to update accumulator N
+        # (Unknown class) for task T"; "non-existent accumulator" only
+        # appears in the attached throwable, which RegexFilter cannot see
+        filt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            "Failed to update accumulator .*", None, False, Result.DENY, Result.NEUTRAL
         )
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        cfg_j = ctx.getConfiguration()
+        cfg_j.getLoggerConfig("org.apache.spark.scheduler.DAGScheduler").addFilter(filt)
+        ctx.updateLoggers()
     except Exception:
-        pass  # log4j2 API absent -> keep default logging
+        pass  # log4j2 core API absent -> keep default logging (noisy tail)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -38,9 +38,14 @@ class DedupConfig:
     # vectors; h=12 corresponds to ~Jaccard 0.7, measured J=0.87 planted
     # near-dups land at h in [8, 12], J~0.3 false positives at h >= ~20.
     simhash_hamming_max: int = 12
-    # optional second confirmation: MinHash-estimated Jaccard >= threshold
-    # (tighter-calibrated than SimHash: std ~0.04 at 128 perms); None = off
-    min_jaccard: float | None = None
+    # second acceptance evidence: MinHash-estimated Jaccard >= threshold
+    # (tighter-calibrated than SimHash: std ~0.04 at 128 perms). With
+    # confirm_with_simhash also on, a candidate confirms when hamming <=
+    # simhash_hamming_max OR est_jaccard >= min_jaccard (the rescue is
+    # bounded to hamming max+8 — see simhash.RESCUE_HAMMING_SLACK); this
+    # recovers genuine near-dups the noisy hamming estimator puts at 13-14
+    # (measured ~2% of planted J~0.85 pairs). None = hamming only.
+    min_jaccard: float | None = 0.7
     # require SimHash confirmation of LSH candidates (the reference's
     # rev_hash-confirms-beg_hash layering, dupe_analysis.py:367-375)
     confirm_with_simhash: bool = True
@@ -73,6 +78,24 @@ class DedupConfig:
     # docs — set False for the exact string-id path if that matters more
     # than shuffle width.
     internal_long_ids: bool = True
+    # force sort-merge on every corpus-sized join-back (stats, argmin,
+    # relabel, election, fingerprint/min-gram self-joins). Default True =
+    # scale-safe: planner size ESTIMATES mis-admit corpus-sized broadcast
+    # builds (measured driver OOM at 6.5M turns — long-id stats rows
+    # squeezed under the 64 MB estimate threshold), and an automatic gate
+    # on those same estimates would reintroduce exactly that bug. False
+    # restores planner freedom for interactive small-corpus use; measured
+    # cost of True at sf0.1/local[32]: ~0.2-0.4 s (~10%) on the substring
+    # and n-gram self-join queries, nothing measurable elsewhere.
+    forced_smj: bool = True
+    # guard the internal_long_ids path: an xxhash64(conv_id) collision
+    # silently merges two unrelated docs, and make_actions can then mark a
+    # unique doc for deletion. Expected collisions ~n^2/2^65: ~0.03 at 1B
+    # docs but >1 at 10B — material at target scale (ADVICE r3). The check
+    # is one count-vs-countDistinct aggregation over the docs table per run;
+    # on mismatch the pipeline FAILS LOUDLY telling the user to rerun with
+    # internal_long_ids=False.
+    verify_long_ids: bool = True
 
     # --- empty-doc handling (zero_hash analog, dupe_analysis.py:31,335-340) ---
     empty_cluster: bool = True

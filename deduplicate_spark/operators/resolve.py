@@ -23,11 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deduplicate_spark.operators.skew import desc_nulls_last_key, salted_struct_min
+from deduplicate_spark.operators.skew import (
+    desc_nulls_last_key,
+    maybe_merge_hint,
+    salted_struct_min,
+)
 
 
 def elect_canonical(
-    clusters: DataFrame, docs: DataFrame, policy: str = "doc", salt_buckets: int = 8
+    clusters: DataFrame,
+    docs: DataFrame,
+    policy: str = "doc",
+    salt_buckets: int = 8,
+    forced_smj: bool = True,
 ) -> DataFrame:
     """clusters(conv_id, cluster_id) x docs -> + canonical_conv_id.
 
@@ -49,7 +57,9 @@ def elect_canonical(
     # docs is corpus-sized: forced SMJ so a planner under-estimate can never
     # build it as a driver-side broadcast (measured OOM class at 6.5M turns)
     ranked = clusters.join(
-        docs.select("conv_id", "n_turns", "total_len").hint("merge"), "conv_id", "left"
+        maybe_merge_hint(docs.select("conv_id", "n_turns", "total_len"), forced_smj),
+        "conv_id",
+        "left",
     )
     order_keys = [
         desc_nulls_last_key("n_turns"),
@@ -92,16 +102,21 @@ def elect_canonical(
         "cluster_id",
         salt_buckets=salt_buckets,
     ).select("cluster_id", F.col("_ord.cid").alias("canonical_conv_id"))
-    return ranked.join(canon.hint("merge"), "cluster_id").select(
+    return ranked.join(maybe_merge_hint(canon, forced_smj), "cluster_id").select(
         "conv_id", "cluster_id", "canonical_conv_id", "n_turns", "total_len"
     )
 
 
-def actions(clusters: DataFrame, docs: DataFrame, policy: str = "doc") -> DataFrame:
+def actions(
+    clusters: DataFrame,
+    docs: DataFrame,
+    policy: str = "doc",
+    forced_smj: bool = True,
+) -> DataFrame:
     """(conv_id, cluster_id, canonical_conv_id, action, freed_len) — the
     keep-one-delete-rest recommendation (G2 state machine, derived not
     mutated)."""
-    elected = elect_canonical(clusters, docs, policy=policy)
+    elected = elect_canonical(clusters, docs, policy=policy, forced_smj=forced_smj)
     return elected.select(
         "conv_id",
         "cluster_id",

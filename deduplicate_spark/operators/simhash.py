@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 
+# the min_jaccard rescue path only examines pairs within this hamming slack
+# above simhash_hamming_max (see confirm_pairs) — keeps the wide minhash
+# arrays off the main confirmation volume
+RESCUE_HAMMING_SLACK = 8
+
 
 def attach_signatures(
     pairs: DataFrame, signatures: DataFrame, with_minhash: bool = False
@@ -69,17 +74,10 @@ def confirm_pairs(
     if not config.confirm_with_simhash and config.min_jaccard is None:
         return pairs.select("a", "b", "evidence").withColumn("hamming", F.lit(None).cast("int"))
 
-    out = attach_signatures(
-        pairs, signatures, with_minhash=config.min_jaccard is not None
-    ).withColumn(
-        "hamming", F.bit_count(F.expr("simhash_a ^ simhash_b")).cast("int")
-    )
-    if config.confirm_with_simhash:
-        out = out.filter(F.col("hamming") <= config.simhash_hamming_max)
-    if config.min_jaccard is not None:
+    def est_jaccard_filter(df: DataFrame) -> DataFrame:
         # MinHash Jaccard estimate = fraction of agreeing signature slots —
         # native zip_with/aggregate, stays in codegen
-        out = out.withColumn(
+        return df.withColumn(
             "est_jaccard",
             F.aggregate(
                 F.zip_with(
@@ -91,4 +89,46 @@ def confirm_pairs(
             )
             / F.lit(config.num_perm),
         ).filter(F.col("est_jaccard") >= config.min_jaccard)
+
+    if config.confirm_with_simhash and config.min_jaccard is not None:
+        # MULTI-EVIDENCE acceptance: SimHash hamming <= bound OR MinHash
+        # estimated Jaccard >= min_jaccard. SimHash hamming is a noisy
+        # estimator at moderate similarity (measured: planted J~0.85 pairs
+        # land at hamming 13-14 ~2% of the time, just over the 12 bound);
+        # the MinHash estimate is tighter (std = sqrt(J(1-J)/num_perm)
+        # ~ 0.04 at 128 perms), so it rescues near-misses. The rescue is
+        # BOUNDED to hamming <= max + RESCUE_HAMMING_SLACK: beyond that the
+        # implied similarity is far below any sane min_jaccard (hamming 20
+        # of 64 -> cos <= ~0.56 -> shingle J well under 0.55, P[est >= 0.7]
+        # < 1e-5), so the 8*num_perm-byte minhash arrays are only ever
+        # joined onto the thin near-miss band, never the full candidate set.
+        # ham_ok and the rescue band both consume base; no explicit barrier —
+        # the branches' identical shuffles dedupe via ReusedExchange inside
+        # the single union query, and the simhash-only attach is narrow
+        base = attach_signatures(pairs, signatures).withColumn(
+            "hamming", F.bit_count(F.expr("simhash_a ^ simhash_b")).cast("int")
+        )
+        ham_ok = base.filter(F.col("hamming") <= config.simhash_hamming_max)
+        near_miss = base.filter(
+            (F.col("hamming") > config.simhash_hamming_max)
+            & (F.col("hamming") <= config.simhash_hamming_max + RESCUE_HAMMING_SLACK)
+        ).select("a", "b", "evidence", "hamming")
+        rescued = est_jaccard_filter(
+            attach_signatures(near_miss, signatures, with_minhash=True).drop(
+                "simhash_a", "simhash_b"
+            )
+        )
+        return ham_ok.select("a", "b", F.lit("near").alias("evidence"), "hamming").unionByName(
+            rescued.select("a", "b", F.lit("near").alias("evidence"), "hamming")
+        )
+
+    out = attach_signatures(
+        pairs, signatures, with_minhash=config.min_jaccard is not None
+    ).withColumn(
+        "hamming", F.bit_count(F.expr("simhash_a ^ simhash_b")).cast("int")
+    )
+    if config.confirm_with_simhash:
+        out = out.filter(F.col("hamming") <= config.simhash_hamming_max)
+    if config.min_jaccard is not None:
+        out = est_jaccard_filter(out)
     return out.select("a", "b", F.lit("near").alias("evidence"), "hamming")

@@ -21,11 +21,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def maybe_merge_hint(df: DataFrame, forced: bool = True) -> DataFrame:
+    """Apply the forced-SMJ insurance hint unless the caller opted out
+    (config.forced_smj=False for interactive small-corpus use)."""
+    return df.hint("merge") if forced else df
+
+
 def tag_bucket_stats(
     df: DataFrame,
     key: str,
     id_col: str = "conv_id",
     salt_buckets: int = 8,
+    forced_smj: bool = True,
 ) -> DataFrame:
     """df(..., key, id_col) -> rows of collision buckets only, plus
     ``bucket_n`` (bucket size) and ``bucket_rep`` (min id in bucket)."""
@@ -47,7 +54,7 @@ def tag_bucket_stats(
         # squeeze under the 64 MB estimate threshold and the driver dies).
         # SMJ is also what AQE's skew-join can split — the design reason
         # this helper exists.
-        return df.join(stats.hint("merge"), key)
+        return df.join(maybe_merge_hint(stats, forced_smj), key)
     w = Window.partitionBy(key)
     return df.select(
         *df.columns,

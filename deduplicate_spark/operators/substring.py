@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from deduplicate_spark.config import DedupConfig
 from deduplicate_spark.operators.minhash import _splitmix64
-from deduplicate_spark.operators.skew import tag_bucket_stats
+from deduplicate_spark.operators.skew import maybe_merge_hint, tag_bucket_stats
 from deduplicate_spark.lineage import cut_lineage
 
 
@@ -226,7 +226,9 @@ def substring_pairs(
     # forced SMJ: both sides are the corpus-sized fingerprint table — same
     # planner-estimate broadcast OOM class as the stats join-back (skew.py)
     small_pairs = (
-        l.join(r.hint("merge"), "fp").filter(F.col("a") < F.col("b")).select("a", "b")
+        l.join(maybe_merge_hint(r, config.forced_smj), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
     )
     large_pairs = (
         annotated.filter(F.col("bucket_n") > allpairs_max)

@@ -132,11 +132,26 @@ def oracle_dup_pairs(
                 continue
             seen.add(pair)
             if not config.complete_hash:
-                if config.confirm_with_simhash:
+                # mirrors operators/simhash.py confirm_pairs exactly: when
+                # both evidences are enabled, hamming <= bound OR (hamming
+                # within the rescue slack AND est_jaccard >= min_jaccard)
+                if config.confirm_with_simhash and config.min_jaccard is not None:
+                    from deduplicate_spark.operators.simhash import (
+                        RESCUE_HAMMING_SLACK,
+                    )
+
+                    ham = bin(sims[pair[0]] ^ sims[pair[1]]).count("1")
+                    if ham > config.simhash_hamming_max:
+                        if ham > config.simhash_hamming_max + RESCUE_HAMMING_SLACK:
+                            continue
+                        est = float((sigs[pair[0]] == sigs[pair[1]]).mean())
+                        if est < config.min_jaccard:
+                            continue
+                elif config.confirm_with_simhash:
                     ham = bin(sims[pair[0]] ^ sims[pair[1]]).count("1")
                     if ham > config.simhash_hamming_max:
                         continue
-                if config.min_jaccard is not None:
+                elif config.min_jaccard is not None:
                     est = float((sigs[pair[0]] == sigs[pair[1]]).mean())
                     if est < config.min_jaccard:
                         continue

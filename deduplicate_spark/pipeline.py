@@ -32,7 +32,11 @@ from deduplicate_spark.operators.minhash import compute_signatures
 from deduplicate_spark.operators.resolve import actions as make_actions
 from deduplicate_spark.operators.resolve import cluster_report
 from deduplicate_spark.operators.simhash import confirm_pairs
-from deduplicate_spark.operators.skew import salted_struct_min, tag_bucket_stats
+from deduplicate_spark.operators.skew import (
+    maybe_merge_hint,
+    salted_struct_min,
+    tag_bucket_stats,
+)
 from deduplicate_spark.operators.substring import substring_pairs
 from deduplicate_spark.lineage import cut_lineage
 
@@ -50,7 +54,10 @@ class PipelineResult:
 
 
 def exact_star_edges(
-    docs: DataFrame, key: str = "exact_sha", salt_buckets: int = 8
+    docs: DataFrame,
+    key: str = "exact_sha",
+    salt_buckets: int = 8,
+    forced_smj: bool = True,
 ) -> DataFrame:
     """(rep, member) edges within each exact-hash group — linear in group
     size (vs the reference's all-pairs cliques, deduplicate.py:497-528);
@@ -64,6 +71,7 @@ def exact_star_edges(
         docs.filter(F.col(key).isNotNull()).select("conv_id", key),
         key,
         salt_buckets=salt_buckets,
+        forced_smj=forced_smj,
     )
     return tagged.filter(F.col("conv_id") != F.col("bucket_rep")).select(
         F.col("bucket_rep").alias("a"),
@@ -73,7 +81,10 @@ def exact_star_edges(
 
 
 def exact_representatives(
-    docs: DataFrame, key: str = "exact_sha", salt_buckets: int = 8
+    docs: DataFrame,
+    key: str = "exact_sha",
+    salt_buckets: int = 8,
+    forced_smj: bool = True,
 ) -> DataFrame:
     """One doc per distinct exact hash (min conv_id), excluding empty docs —
     the only rows the expensive signature kernel sees.
@@ -88,11 +99,14 @@ def exact_representatives(
         key,
         salt_buckets=salt_buckets,
     ).select(key, F.col("_ord").alias("conv_id"))
-    return src.join(best.hint("merge"), [key, "conv_id"], "left_semi")
+    return src.join(maybe_merge_hint(best, forced_smj), [key, "conv_id"], "left_semi")
 
 
 def relabel_components(
-    components: DataFrame, docs: DataFrame, salt_buckets: int = 8
+    components: DataFrame,
+    docs: DataFrame,
+    salt_buckets: int = 8,
+    forced_smj: bool = True,
 ) -> DataFrame:
     """Map internal long node ids back to conv_id strings and relabel each
     component with its min STRING id — the public cluster_id contract
@@ -113,15 +127,34 @@ def relabel_components(
     )
     mapped = components.select(
         F.col("conv_id").alias("_node"), F.col("cluster_id").alias("_comp")
-    ).join(id_map.hint("merge"), F.col("_node") == F.col("_nid"))
+    ).join(maybe_merge_hint(id_map, forced_smj), F.col("_node") == F.col("_nid"))
     comp_min = salted_struct_min(
         mapped.select("_comp", F.col("_conv").alias("_ord")),
         "_comp",
         salt_buckets=salt_buckets,
     ).select("_comp", F.col("_ord").alias("cluster_id"))
-    return mapped.join(comp_min.hint("merge"), "_comp").select(
+    return mapped.join(maybe_merge_hint(comp_min, forced_smj), "_comp").select(
         F.col("_conv").alias("conv_id"), "cluster_id"
     )
+
+
+def assert_no_id_collisions(docs: DataFrame, hash_col=None) -> None:
+    """Fail loudly if two distinct conv_ids share an xxhash64 value
+    (ADVICE r3): a collision would silently merge two unrelated docs under
+    ``internal_long_ids`` and could mark a unique doc for deletion. One
+    count-vs-countDistinct aggregation over the (already-checkpointed) docs
+    table; the distinct runs on 8-byte longs with map-side partials."""
+    hash_col = F.xxhash64("conv_id") if hash_col is None else hash_col
+    chk = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(hash_col).alias("d"),
+    ).first()
+    if chk.n != chk.d:
+        raise ValueError(
+            f"xxhash64(conv_id) collision detected ({chk.n} docs, {chk.d} "
+            "distinct hashes): rerun with DedupConfig(internal_long_ids="
+            "False) for the exact string-id path, or dedupe conv_ids"
+        )
 
 
 def run_pipeline(
@@ -158,13 +191,19 @@ def run_pipeline(
         if config.internal_long_ids
         else docs
     )
+    if config.internal_long_ids and config.verify_long_ids:
+        assert_no_id_collisions(docs)
 
     # zero_hash analog (dupe_analysis.py:31,335-340): empty docs share
     # EMPTY_SHA1 and cluster together when empty_cluster=True (reference
     # behavior); False leaves them untouched by every stage.
     exact_src = kdocs if config.empty_cluster else kdocs.filter(F.col("total_len") > 0)
-    exact_edges = exact_star_edges(exact_src, salt_buckets=config.band_salt_buckets)
-    reps = exact_representatives(kdocs, salt_buckets=config.band_salt_buckets)
+    exact_edges = exact_star_edges(
+        exact_src, salt_buckets=config.band_salt_buckets, forced_smj=config.forced_smj
+    )
+    reps = exact_representatives(
+        kdocs, salt_buckets=config.band_salt_buckets, forced_smj=config.forced_smj
+    )
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
     # kernel only sees reps that collide on prefix_sha. NOT applied to the
@@ -199,10 +238,13 @@ def run_pipeline(
     )
     if config.internal_long_ids:
         components = relabel_components(
-            components, docs, salt_buckets=config.band_salt_buckets
+            components,
+            docs,
+            salt_buckets=config.band_salt_buckets,
+            forced_smj=config.forced_smj,
         )
     clusters = ckpt("clusters", components)
-    acts = make_actions(clusters, docs)
+    acts = make_actions(clusters, docs, forced_smj=config.forced_smj)
     if not analyze_only:
         acts = ckpt("actions", acts)
 

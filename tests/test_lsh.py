@@ -87,3 +87,35 @@ def test_empty_cluster_knob(spark, empty_cluster, expect_empty_dupes):
     }
     assert {"full/a", "full/b"} <= members
     assert (("empty/a" in members) and ("empty/b" in members)) == expect_empty_dupes
+
+
+def test_min_jaccard_rescue_band(spark):
+    """Multi-evidence confirmation: hamming <= max confirms outright; a pair
+    in (max, max+slack] confirms iff est Jaccard >= min_jaccard; beyond the
+    slack the pair is rejected even with perfect minhash agreement."""
+    from deduplicate_spark.operators.simhash import (
+        RESCUE_HAMMING_SLACK,
+        confirm_pairs,
+    )
+
+    cfg = DedupConfig(num_perm=8, lsh_bands=4, lsh_rows=2, simhash_hamming_max=4)
+    base = 0x0F0F0F0F0F0F0F0F
+    flip = lambda n: base ^ ((1 << n) - 1)  # differs from base in n low bits
+    mh_full = [int(i) for i in range(8)]
+    mh_half = [0, 1, 2, 3, 99, 98, 97, 96]
+    sigs = spark.createDataFrame(
+        [
+            ("A", base, mh_full),
+            ("B", flip(cfg.simhash_hamming_max + 1), mh_full),   # rescue: est=1.0
+            ("C", flip(cfg.simhash_hamming_max + RESCUE_HAMMING_SLACK + 1), mh_full),
+            ("D", flip(cfg.simhash_hamming_max + 1), mh_half),   # est=0.5 < 0.7
+            ("E", flip(2), mh_half),                             # hamming ok alone
+        ],
+        "conv_id string, simhash long, minhash array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("A", x, "lsh") for x in "BCDE"], "a string, b string, evidence string"
+    )
+    got = {r.b: r.hamming for r in confirm_pairs(pairs, sigs, config=cfg).collect()}
+    assert set(got) == {"B", "E"}
+    assert got["B"] == cfg.simhash_hamming_max + 1

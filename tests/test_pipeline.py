@@ -205,3 +205,19 @@ def test_relabel_join_never_broadcasts(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert out.count() == 50
+
+
+def test_long_id_collision_guard(spark):
+    """ADVICE r3: the internal_long_ids path must fail loudly when two
+    conv_ids collide in xxhash64 (injected here via a constant hash column —
+    real 64-bit collisions are unconstructible in a test)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from deduplicate_spark.pipeline import assert_no_id_collisions
+
+    docs = spark.createDataFrame([("a",), ("b",)], "conv_id string")
+    assert_no_id_collisions(docs)  # real hashes: no collision
+    with _pytest.raises(ValueError, match="collision"):
+        assert_no_id_collisions(docs, hash_col=F.lit(1))

@@ -64,3 +64,22 @@ def test_mega_fingerprint_star_edges_no_window_straggler(spark):
     rep = f"m{0:06d}"
     assert {(rep, f"m{i:06d}") for i in range(1, n)} <= pairs_s
     assert len(pairs_s) < 3 * n
+
+
+def test_forced_smj_knob(spark):
+    """forced_smj=False restores planner freedom (broadcast allowed on a
+    small corpus); the default keeps the SMJ insurance that the plan-shape
+    tests above pin."""
+    rows = [(f"d{i:03d}", i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "conv_id string, k int")
+    free = tag_bucket_stats(df, "k", salt_buckets=8, forced_smj=False)
+    snap = lambda d: {  # noqa: E731
+        (r.conv_id, r.k, r.bucket_n, r.bucket_rep) for r in d.collect()
+    }
+    assert snap(free) == snap(tag_bucket_stats(df, "k", salt_buckets=8))
+    # AQE's FINAL plan (post-execution) converts the tiny stats join to a
+    # broadcast once the hint is gone; with the hint (default) the
+    # plan-shape tests above pin SortMergeJoin even here
+    plan = free._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
