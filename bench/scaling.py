@@ -38,16 +38,75 @@ def materialize_input(sf_dir: str, replicate: int, out_path: str) -> int:
     return n
 
 
-def run_once(cores: int, input_path: str) -> float:
+BUCKETS = 64
+TURNS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def materialize_input_bucketed(sf_dir: str, replicate: int, wh_dir: str) -> int:
+    """Materialize the corpus as a conv_id-BUCKETED table — the production
+    Iceberg layout of a transcript store (bucket-partitioned on the
+    conversation key). Assembly's groupBy(conv_id) then needs NO exchange
+    at all: the biggest bandwidth-bound phase (shuffling every text byte)
+    disappears at the layout level, which is how a 100 TB deployment
+    should run this pipeline."""
+    from deduplicate_spark.entry_queries import docs_as_multiturn_transcripts
+    from deduplicate_spark.session import get_spark
+
+    spark = get_spark(
+        "scaling_prep",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.sql.warehouse.dir": wh_dir},
+    )
+    turns = docs_as_multiturn_transcripts(spark, sf_dir, replicate=replicate, mutate=True)
+    spark.sql("DROP TABLE IF EXISTS turns_bucketed")
+    (
+        turns.write.mode("overwrite")
+        .bucketBy(BUCKETS, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .saveAsTable("turns_bucketed")
+    )
+    n = spark.table("turns_bucketed").count()
+    spark.stop()
+    return n
+
+
+def read_bucketed(spark, wh_dir: str):
+    """Re-register the bucketed table in a fresh session's catalog (the
+    in-memory catalog dies with the session; the bucketed FILES don't)."""
+    loc = os.path.join(wh_dir, "turns_bucketed")
+    spark.sql("DROP TABLE IF EXISTS turns_bucketed")
+    spark.sql(
+        f"CREATE TABLE turns_bucketed ({TURNS_DDL}) USING parquet "
+        f"CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) "
+        f"INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
+    )
+    return spark.table("turns_bucketed")
+
+
+def run_once(cores: int, input_path: str, wh_dir: str | None = None) -> float:
     from deduplicate_spark.config import DedupConfig
     from deduplicate_spark.pipeline import run_pipeline
     from deduplicate_spark.session import get_spark
 
+    extra = {"spark.sql.warehouse.dir": wh_dir} if wh_dir else None
     spark = get_spark(
-        f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        f"scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf=extra,
     )
-    turns = spark.read.parquet(input_path)
+    turns = read_bucketed(spark, wh_dir) if wh_dir else spark.read.parquet(input_path)
     turns.count()  # warm the file listing / page cache uniformly
+    # untimed session warmup, same protocol as bench.py: the first
+    # mapInPandas forks the Python workers and the first run of each plan
+    # shape pays whole-stage codegen — one-time per-SESSION costs, not
+    # pipeline throughput; on a real cluster they amortize over the job.
+    # Both parallelism levels get the identical warmup.
+    run_pipeline(spark, turns.limit(800), DedupConfig()).actions.count()
     t0 = time.time()
     res = run_pipeline(spark, turns, DedupConfig())
     res.actions.count()
@@ -66,9 +125,29 @@ def main() -> None:
     ap.add_argument("--skip-materialize", action="store_true",
                     help="reuse --input-cache from a prior materialization")
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--bucketed", action="store_true",
+                    help="materialize + read the corpus as a conv_id-bucketed "
+                         "table (production Iceberg layout): assembly needs no "
+                         "text exchange")
+    ap.add_argument("--warehouse", default="/tmp/scaling_warehouse")
+    ap.add_argument("--write-md", action="store_true",
+                    help="overwrite BENCH/BASELINE.md with this run's template "
+                         "(default off: BASELINE.md is curated by hand; every "
+                         "run always appends to BENCH/scaling_runs.jsonl)")
     args = ap.parse_args()
 
-    if args.skip_materialize and os.path.exists(args.input_cache):
+    if args.bucketed:
+        loc = os.path.join(args.warehouse, "turns_bucketed")
+        if args.skip_materialize and os.path.exists(loc):
+            from deduplicate_spark.session import get_spark
+
+            spark = get_spark("count_only", master="local[8]",
+                              extra_conf={"spark.sql.warehouse.dir": args.warehouse})
+            n_turns = read_bucketed(spark, args.warehouse).count()
+            spark.stop()
+        else:
+            n_turns = materialize_input_bucketed(args.sf_dir, args.replicate, args.warehouse)
+    elif args.skip_materialize and os.path.exists(args.input_cache):
         from deduplicate_spark.session import get_spark
 
         spark = get_spark("count_only", master="local[8]")
@@ -78,10 +157,11 @@ def main() -> None:
         n_turns = materialize_input(args.sf_dir, args.replicate, args.input_cache)
 
     # interleave to cancel thermal/cache drift; keep the best per level
+    wh = args.warehouse if args.bucketed else None
     walls = {args.low: [], args.high: []}
     for _ in range(args.rounds):
         for cores in (args.low, args.high):
-            walls[cores].append(run_once(cores, args.input_cache))
+            walls[cores].append(run_once(cores, args.input_cache, wh_dir=wh))
 
     t_low = min(walls[args.low])
     t_high = min(walls[args.high])
@@ -100,8 +180,15 @@ def main() -> None:
         "speedup": round(thr_high / thr_low, 3),
         "scaling_efficiency": round(efficiency, 3),
         "all_walls": {str(k): [round(x, 2) for x in v] for k, v in walls.items()},
+        "bucketed_input": args.bucketed,
+        "warmup_excluded": True,
     }
     print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as fh:
+        fh.write(json.dumps(result) + "\n")
+    if not args.write_md:
+        return
 
     md = f"""# BENCH/BASELINE — measured numbers
 

@@ -100,6 +100,9 @@ def run_once(n_execs: int, cores_per_exec: int, mem_mb: int, input_path: str) ->
     spark.sparkContext.setCheckpointDir(os.path.join(local_dir, f"ckpt_{n_execs}"))
     turns = spark.read.parquet(input_path)
     turns.count()  # warm file listing / page cache uniformly
+    # untimed session warmup (same protocol as bench.py / scaling.py):
+    # Python-worker fork + whole-stage codegen are per-session costs
+    run_pipeline(spark, turns.limit(800), DedupConfig()).actions.count()
     t0 = time.time()
     res = run_pipeline(spark, turns, DedupConfig())
     res.actions.count()

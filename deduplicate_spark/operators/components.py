@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from deduplicate_spark.lineage import cut_lineage
+from deduplicate_spark.operators.skew import maybe_merge_hint
 
 
 DRIVER_CC_MAX_EDGES = 5_000_000
@@ -34,6 +35,7 @@ def connected_components(
     min_rounds: int = 2,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
     assume_deduped: bool = False,
+    forced_smj: bool = True,
 ) -> DataFrame:
     """edges(a, b) -> (conv_id, cluster_id); only nodes that appear in an
     edge are returned (singletons are not duplicates — reference reports
@@ -73,8 +75,11 @@ def connected_components(
         # are tagged so one aggregation yields both the new label (min over
         # offers + self) and the old label (the unique self row) — the
         # convergence check costs no extra join.
+        # labels is node-count-sized: 26 MB at 6.5M turns (legitimately
+        # broadcastable) but GBs at 10^9 nodes — forced SMJ is the
+        # scale-safe default (same estimate-threshold class as skew.py)
         offers = (
-            sym.join(labels, sym.src == labels.conv_id, "inner")
+            sym.join(maybe_merge_hint(labels, forced_smj), sym.src == labels.conv_id, "inner")
             .select(F.col("dst").alias("conv_id"), "label", F.lit(False).alias("is_self"))
         )
         merged = (

@@ -29,11 +29,24 @@ RESCUE_HAMMING_SLACK = 8
 
 
 def attach_signatures(
-    pairs: DataFrame, signatures: DataFrame, with_minhash: bool = False
+    pairs: DataFrame,
+    signatures: DataFrame,
+    with_minhash: bool = False,
+    forced_smj: bool = True,
 ) -> DataFrame:
-    """pairs(a, b) x signatures -> per-side signature columns. Two shuffle
-    hash joins on conv_id; Catalyst broadcasts if signatures are small.
-    The minhash array (8*num_perm bytes/row) is only carried when needed."""
+    """pairs(a, b) x signatures -> per-side signature columns. Two sort-merge
+    joins on conv_id; the minhash array (8*num_perm bytes/row) is only
+    carried when needed.
+
+    The signatures side is FORCED sort-merge by default: it is corpus-sized
+    (one row per exact-distinct doc, ~1 KB with the minhash array), and a
+    planner size under-estimate otherwise builds it as a driver-side
+    broadcast — measured at 6.5M turns/local[2]: a 1.15 GB broadcast build
+    of the minhash-carrying side blew spark.driver.maxResultSize inside the
+    rescue attach (the same estimate-threshold class as the relabel and
+    stats join-backs, see skew.py)."""
+    from deduplicate_spark.operators.skew import maybe_merge_hint
+
     cols = ["conv_id", "simhash"] + (["minhash"] if with_minhash else [])
     sig = signatures.select(*cols)
 
@@ -41,7 +54,7 @@ def attach_signatures(
         renames = [F.col("conv_id").alias(name), F.col("simhash").alias(f"simhash_{name}")]
         if with_minhash:
             renames.append(F.col("minhash").alias(f"minhash_{name}"))
-        return sig.select(*renames)
+        return maybe_merge_hint(sig.select(*renames), forced_smj)
 
     return pairs.join(side("a"), "a").join(side("b"), "b")
 
@@ -59,13 +72,23 @@ def confirm_pairs(
         # strict mode: duplicates must be exact-content-equal
         if docs is None:
             raise ValueError("complete_hash=True requires docs for exact_sha")
+        from deduplicate_spark.operators.skew import maybe_merge_hint
+
         sha = docs.select("conv_id", "exact_sha")
         return (
             pairs.join(
-                sha.select(F.col("conv_id").alias("a"), F.col("exact_sha").alias("sha_a")), "a"
+                maybe_merge_hint(
+                    sha.select(F.col("conv_id").alias("a"), F.col("exact_sha").alias("sha_a")),
+                    config.forced_smj,
+                ),
+                "a",
             )
             .join(
-                sha.select(F.col("conv_id").alias("b"), F.col("exact_sha").alias("sha_b")), "b"
+                maybe_merge_hint(
+                    sha.select(F.col("conv_id").alias("b"), F.col("exact_sha").alias("sha_b")),
+                    config.forced_smj,
+                ),
+                "b",
             )
             .filter(F.col("sha_a") == F.col("sha_b"))
             .select("a", "b", F.lit("exact").alias("evidence"), F.lit(0).alias("hamming"))
@@ -105,7 +128,9 @@ def confirm_pairs(
         # ham_ok and the rescue band both consume base; no explicit barrier —
         # the branches' identical shuffles dedupe via ReusedExchange inside
         # the single union query, and the simhash-only attach is narrow
-        base = attach_signatures(pairs, signatures).withColumn(
+        base = attach_signatures(
+            pairs, signatures, forced_smj=config.forced_smj
+        ).withColumn(
             "hamming", F.bit_count(F.expr("simhash_a ^ simhash_b")).cast("int")
         )
         ham_ok = base.filter(F.col("hamming") <= config.simhash_hamming_max)
@@ -114,16 +139,19 @@ def confirm_pairs(
             & (F.col("hamming") <= config.simhash_hamming_max + RESCUE_HAMMING_SLACK)
         ).select("a", "b", "evidence", "hamming")
         rescued = est_jaccard_filter(
-            attach_signatures(near_miss, signatures, with_minhash=True).drop(
-                "simhash_a", "simhash_b"
-            )
+            attach_signatures(
+                near_miss, signatures, with_minhash=True, forced_smj=config.forced_smj
+            ).drop("simhash_a", "simhash_b")
         )
         return ham_ok.select("a", "b", F.lit("near").alias("evidence"), "hamming").unionByName(
             rescued.select("a", "b", F.lit("near").alias("evidence"), "hamming")
         )
 
     out = attach_signatures(
-        pairs, signatures, with_minhash=config.min_jaccard is not None
+        pairs,
+        signatures,
+        with_minhash=config.min_jaccard is not None,
+        forced_smj=config.forced_smj,
     ).withColumn(
         "hamming", F.bit_count(F.expr("simhash_a ^ simhash_b")).cast("int")
     )

@@ -237,12 +237,23 @@ def substring_pairs(
     )
     cand = small_pairs.unionByName(large_pairs).dropDuplicates(["a", "b"])
 
+    # texts is corpus-sized WITH doc_text: forced SMJ so a planner size
+    # under-estimate can never broadcast-build it on the driver (same class
+    # as the confirm attach, measured at 6.5M turns)
     texts = docs.select("conv_id", "doc_text")
     withtext = (
         cand.join(
-            texts.select(F.col("conv_id").alias("a"), F.col("doc_text").alias("text_a")), "a"
+            maybe_merge_hint(
+                texts.select(F.col("conv_id").alias("a"), F.col("doc_text").alias("text_a")),
+                config.forced_smj,
+            ),
+            "a",
         ).join(
-            texts.select(F.col("conv_id").alias("b"), F.col("doc_text").alias("text_b")), "b"
+            maybe_merge_hint(
+                texts.select(F.col("conv_id").alias("b"), F.col("doc_text").alias("text_b")),
+                config.forced_smj,
+            ),
+            "b",
         )
     )
 

@@ -90,16 +90,19 @@ def exact_representatives(
     the only rows the expensive signature kernel sees.
 
     Salted algebraic argmin + semi-join-back instead of a
-    ``row_number() over (partition by exact_sha)`` window: the join key
-    (sha, conv_id) is near-unique so the probe side has no hot key, and the
-    argmin is a partial aggregation a mega-group cannot straggle."""
+    ``row_number() over (partition by exact_sha)`` window: the argmin is a
+    partial aggregation a mega-group cannot straggle, and the semi-join is
+    on conv_id ALONE (the per-sha winner is a globally unique id, so sha is
+    redundant in the join key). The single-column key lets Spark's runtime
+    bloom-filter injection prune non-representative rows — on a high-dup
+    corpus most of the fat ``doc_text`` bytes — BEFORE the exchange."""
     src = docs.filter((F.col("total_len") > 0) & F.col(key).isNotNull())
     best = salted_struct_min(
         src.select(key, F.col("conv_id").alias("_ord")),
         key,
         salt_buckets=salt_buckets,
-    ).select(key, F.col("_ord").alias("conv_id"))
-    return src.join(maybe_merge_hint(best, forced_smj), [key, "conv_id"], "left_semi")
+    ).select(F.col("_ord").alias("conv_id"))
+    return src.join(maybe_merge_hint(best, forced_smj), "conv_id", "left_semi")
 
 
 def relabel_components(
@@ -234,7 +237,10 @@ def run_pipeline(
     edges = edges.dropDuplicates(["a", "b"])
 
     components = connected_components(
-        edges, max_rounds=config.cc_max_rounds, assume_deduped=True
+        edges,
+        max_rounds=config.cc_max_rounds,
+        assume_deduped=True,
+        forced_smj=config.forced_smj,
     )
     if config.internal_long_ids:
         components = relabel_components(

@@ -467,7 +467,9 @@ def current_clusters(spark: SparkSession, state: IncrementalState, config: Dedup
 
     config = config or DedupConfig()
     edges = spark.read.parquet(state.pairs_path)
-    return connected_components(edges, max_rounds=config.cc_max_rounds)
+    return connected_components(
+        edges, max_rounds=config.cc_max_rounds, forced_smj=config.forced_smj
+    )
 
 
 def stream_turns(

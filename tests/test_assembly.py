@@ -111,3 +111,35 @@ def test_debug_dump_ordered(spark):
     )
     rows = debug_dump(assemble_docs(turns)).collect()
     assert [r["conv_id"] for r in rows] == ["a", "b"]
+
+
+def test_bucketed_input_assembly_needs_no_exchange(spark, tmp_path):
+    """Production-layout claim (BENCH/BASELINE.md): over a conv_id-BUCKETED
+    table (the Iceberg bucket-partitioned transcript layout), assembly's
+    groupBy(conv_id) satisfies its clustering requirement from the scan —
+    zero Exchange in the plan, so no text byte ever crosses the wire."""
+    import pandas as pd
+
+    from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
+
+    rows = [(f"c{i%7}", i, "user", f"text {i}", "", None) for i in range(50)]
+    turns = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        TRANSCRIPTS_SCHEMA,
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_asm")
+    # managed table in the session warehouse; DROP TABLE below removes files
+    (
+        turns.write.mode("overwrite")
+        .bucketBy(4, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .saveAsTable("t_bucketed_asm")
+    )
+    bt = spark.table("t_bucketed_asm")
+    plan = assemble_docs(bt)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # identical docs to the plain (shuffled) path
+    a = {(r.conv_id, r.exact_sha) for r in assemble_docs(bt).collect()}
+    b = {(r.conv_id, r.exact_sha) for r in assemble_docs(turns).collect()}
+    assert a == b
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_asm")

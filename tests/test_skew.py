@@ -83,3 +83,29 @@ def test_forced_smj_knob(spark):
     plan = free._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_confirm_attach_never_broadcasts_signatures(spark):
+    """The rescue attach carries ~1KB minhash arrays per signature row; a
+    planner under-estimate built it as a 1.15 GB driver-side broadcast at
+    6.5M turns/local[2] (maxResultSize abort). Default config must pin
+    sort-merge on every signature attach."""
+    from deduplicate_spark.operators.simhash import confirm_pairs
+
+    cfg = DedupConfig(num_perm=8, lsh_bands=4, lsh_rows=2)
+    sigs = spark.createDataFrame(
+        [(f"c{i}", i * 7, [int(i)] * 8) for i in range(50)],
+        "conv_id string, simhash long, minhash array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}", "lsh") for i in range(0, 40, 2)],
+        "a string, b string, evidence string",
+    )
+    plan = (
+        confirm_pairs(pairs, sigs, config=cfg)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
