@@ -62,7 +62,12 @@ def materialize_input_bucketed(sf_dir: str, replicate: int, wh_dir: str) -> int:
         extra_conf={"spark.sql.warehouse.dir": wh_dir},
     )
     turns = docs_as_multiturn_transcripts(spark, sf_dir, replicate=replicate, mutate=True)
+    # a fresh session's in-memory catalog doesn't know a prior run's table,
+    # so DROP TABLE alone leaves the files -> LOCATION_ALREADY_EXISTS
     spark.sql("DROP TABLE IF EXISTS turns_bucketed")
+    import shutil
+
+    shutil.rmtree(os.path.join(wh_dir, "turns_bucketed"), ignore_errors=True)
     (
         turns.write.mode("overwrite")
         .bucketBy(BUCKETS, "conv_id")

@@ -41,18 +41,48 @@ def stage_bytes() -> dict[str, int]:
     }
 
 
-def run_once(cores: int, input_path: str, long_ids: bool) -> dict:
+def top_stages(k: int = 8) -> list[dict]:
+    """Top-k completed stages by executor run time — where the wall goes."""
+    app_id = _rest("/applications")[0]["id"]
+    stages = _rest(f"/applications/{app_id}/stages?status=complete")
+    stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+    return [
+        {
+            "stage": s["stageId"],
+            "name": s.get("name", "")[:60],
+            "run_ms": s.get("executorRunTime", 0),
+            "tasks": s.get("numCompleteTasks", 0),
+            "in_mb": round(s.get("inputBytes", 0) / 1e6),
+            "sw_mb": round(s.get("shuffleWriteBytes", 0) / 1e6),
+            "sr_mb": round(s.get("shuffleReadBytes", 0) / 1e6),
+        }
+        for s in stages[:k]
+    ]
+
+
+def run_once(
+    cores: int, input_path: str, long_ids: bool, warehouse: str | None = None
+) -> dict:
     from deduplicate_spark.config import DedupConfig
     from deduplicate_spark.pipeline import run_pipeline
     from deduplicate_spark.session import get_spark
 
+    mode_name = "bucketed" if warehouse else ("long" if long_ids else "str")
+    extra = {"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)}
+    if warehouse:
+        extra["spark.sql.warehouse.dir"] = warehouse
     spark = get_spark(
-        f"shufbytes_{'long' if long_ids else 'str'}",
+        f"shufbytes_{mode_name}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+        extra_conf=extra,
     )
-    turns = spark.read.parquet(input_path)
+    if warehouse:
+        from bench.scaling import read_bucketed
+
+        turns = read_bucketed(spark, warehouse)
+    else:
+        turns = spark.read.parquet(input_path)
     turns.count()
     base = stage_bytes()
     t0 = time.time()
@@ -60,11 +90,13 @@ def run_once(cores: int, input_path: str, long_ids: bool) -> dict:
     res.actions.count()
     wall = time.time() - t0
     end = stage_bytes()
+    tops = top_stages()
     out = {
-        "mode": "long" if long_ids else "str",
+        "mode": mode_name,
         "cores": cores,
         "wall_sec": round(wall, 1),
         **{k: end[k] - base.get(k, 0) for k in end},
+        "top_stages": tops,
     }
     spark.stop()
     return out

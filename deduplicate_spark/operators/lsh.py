@@ -72,7 +72,16 @@ def candidate_pairs(
     """
     config = config or DedupConfig()
     collect_cap = config.max_band_bucket or COLLECT_CAP
-    buckets = band_buckets(signatures, config).select("conv_id", "band_hash")
+    # lineage cut on the NARROW band rows: tag_bucket_stats consumes them
+    # twice (partial agg + join-back probe) — without the cut each
+    # evaluation re-reads the ~1 KB/row signature checkpoint blocks and
+    # re-runs the 32x explode (measured: 2 of the 3 heaviest block-read
+    # stages in the pipeline)
+    buckets = (
+        band_buckets(signatures, config)
+        .select("conv_id", "band_hash")
+        .transform(lambda _df: cut_lineage(_df, eager=False))
+    )
     # (band_id is folded into band_hash by the xxhash64; carrying it would
     # only widen the 32x-exploded shuffle rows)
 
@@ -81,7 +90,9 @@ def candidate_pairs(
     # Shared with the substring pass — see operators/skew.py.
     tagged = tag_bucket_stats(
         buckets, "band_hash", salt_buckets=config.band_salt_buckets
-    ).select("conv_id", "band_hash", "bucket_n", "bucket_rep")
+    ).select("conv_id", "band_hash", "bucket_n", "bucket_rep").transform(
+        lambda _df: cut_lineage(_df, eager=False)
+    )
 
     # skew guard: never collect_list a mega-bucket (boilerplate content can
     # put millions of docs in one bucket) — emit star edges row-wise instead

@@ -64,9 +64,18 @@ def confirm_pairs(
     signatures: DataFrame,
     docs: DataFrame | None = None,
     config: DedupConfig | None = None,
+    sim_signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate (a, b) -> confirmed (a, b, evidence, hamming)."""
+    """Candidate (a, b) -> confirmed (a, b, evidence, hamming).
+
+    ``sim_signatures``: optional narrow (conv_id, simhash) table for the
+    Hamming attaches. Checkpoint blocks are row-cached with no column
+    pruning, so attaching from the full signatures table re-reads (and
+    SMJ-sorts) the ~1 KB minhash arrays per side even though Hamming needs
+    16 bytes/row — callers that checkpoint signatures should pass a
+    narrow projection checkpoint here (run_pipeline does)."""
     config = config or DedupConfig()
+    sim_sigs = sim_signatures if sim_signatures is not None else signatures
 
     if config.complete_hash:
         # strict mode: duplicates must be exact-content-equal
@@ -129,27 +138,40 @@ def confirm_pairs(
         # the branches' identical shuffles dedupe via ReusedExchange inside
         # the single union query, and the simhash-only attach is narrow
         base = attach_signatures(
-            pairs, signatures, forced_smj=config.forced_smj
+            pairs, sim_sigs, forced_smj=config.forced_smj
         ).withColumn(
             "hamming", F.bit_count(F.expr("simhash_a ^ simhash_b")).cast("int")
         )
+        from deduplicate_spark.lineage import cut_lineage
+
+        base = cut_lineage(base, eager=False)
         ham_ok = base.filter(F.col("hamming") <= config.simhash_hamming_max)
         near_miss = base.filter(
             (F.col("hamming") > config.simhash_hamming_max)
             & (F.col("hamming") <= config.simhash_hamming_max + RESCUE_HAMMING_SLACK)
         ).select("a", "b", "evidence", "hamming")
+        confirmed_ham = ham_ok.select(
+            "a", "b", F.lit("near").alias("evidence"), "hamming"
+        )
+        # cheap short-circuit on the ALREADY-NARROW base (one action; its
+        # lineage-cut blocks are reused by ham_ok): when no candidate lands
+        # in the rescue band — the common case — skip the wide attach
+        # entirely, saving two full SMJ sort passes over the 1 KB/row
+        # minhash table (measured ~60 s-cpu of 365 at 1.6M turns)
+        if near_miss.isEmpty():
+            return confirmed_ham
         rescued = est_jaccard_filter(
             attach_signatures(
                 near_miss, signatures, with_minhash=True, forced_smj=config.forced_smj
             ).drop("simhash_a", "simhash_b")
         )
-        return ham_ok.select("a", "b", F.lit("near").alias("evidence"), "hamming").unionByName(
+        return confirmed_ham.unionByName(
             rescued.select("a", "b", F.lit("near").alias("evidence"), "hamming")
         )
 
     out = attach_signatures(
         pairs,
-        signatures,
+        signatures if config.min_jaccard is not None else sim_sigs,
         with_minhash=config.min_jaccard is not None,
         forced_smj=config.forced_smj,
     ).withColumn(

@@ -176,12 +176,28 @@ def run_pipeline(
     lazily but never materialized or checkpointed by the pipeline itself."""
     config = config or DedupConfig()
 
-    def ckpt(name: str, df: DataFrame) -> DataFrame:
+    def ckpt(name: str, df: DataFrame, eager: bool = False) -> DataFrame:
         if store is not None:
             return store.stage(name, df)
-        return df.transform(lambda _df: cut_lineage(_df, eager=False))
+        return df.transform(lambda _df: cut_lineage(_df, eager=eager))
 
     docs = ckpt("docs", assemble_docs(turns, config))
+
+    # COLUMNAR CHECKPOINT SPLIT: localCheckpoint blocks are row-cached with
+    # no column pruning, so every consumer of the full docs table re-reads
+    # all text bytes even for a (conv_id, sha) projection — measured at
+    # 6.5M turns: 4 separate full-block passes, ~100 s-cpu of redundant
+    # DRAM traffic on a bandwidth-bound host. Checkpoint a text-free meta
+    # projection ONCE and route every non-kernel stage (guard, exact
+    # cascade, relabel, election) through it; text blocks are read exactly
+    # once, into the kernel path below.
+    # eager: AQE materializes independent downstream stages CONCURRENTLY —
+    # with a lazy cut, each racing consumer recomputes meta from the
+    # full-text docs blocks before the narrow blocks land (measured: one
+    # extra 366 MB pass per racing consumer)
+    meta = ckpt("docs_meta", docs.drop("doc_text"), eager=True)
+    if config.internal_long_ids and config.verify_long_ids:
+        assert_no_id_collisions(meta)
 
     # internal id representation: every stage from here to CC treats
     # conv_id opaquely, so the whole kernel path can run on 8-byte
@@ -189,50 +205,74 @@ def run_pipeline(
     # to (long, long), pair shuffles and CC labels shrink the same way.
     # Strings are joined back onto the final (small, dup-only) cluster
     # table below; outputs are identical to the string path.
-    kdocs = (
-        docs.withColumn("conv_id", F.xxhash64("conv_id"))
-        if config.internal_long_ids
-        else docs
-    )
-    if config.internal_long_ids and config.verify_long_ids:
-        assert_no_id_collisions(docs)
+    def kid(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("conv_id", F.xxhash64("conv_id"))
+            if config.internal_long_ids
+            else df
+        )
+
+    kmeta = kid(meta)
+    ktext = kid(docs.select("conv_id", "doc_text"))
 
     # zero_hash analog (dupe_analysis.py:31,335-340): empty docs share
     # EMPTY_SHA1 and cluster together when empty_cluster=True (reference
     # behavior); False leaves them untouched by every stage.
-    exact_src = kdocs if config.empty_cluster else kdocs.filter(F.col("total_len") > 0)
+    exact_src = kmeta if config.empty_cluster else kmeta.filter(F.col("total_len") > 0)
     exact_edges = exact_star_edges(
         exact_src, salt_buckets=config.band_salt_buckets, forced_smj=config.forced_smj
     )
-    reps = exact_representatives(
-        kdocs, salt_buckets=config.band_salt_buckets, forced_smj=config.forced_smj
+
+    # exact-distinct representatives: argmin over narrow meta; only the
+    # winning ids semi-join the text table (one text pass into the kernel)
+    rep_src = kmeta.filter((F.col("total_len") > 0) & F.col("exact_sha").isNotNull())
+    rep_ids = salted_struct_min(
+        rep_src.select("exact_sha", F.col("conv_id").alias("_ord")),
+        "exact_sha",
+        salt_buckets=config.band_salt_buckets,
+    ).select(F.col("_ord").alias("conv_id"))
+    # checkpointed so the text table is evaluated ONCE no matter how many
+    # kernel consumers follow (signatures + optional substring pass)
+    reps_text = ckpt(
+        "reps_text",
+        ktext.join(maybe_merge_hint(rep_ids, config.forced_smj), "conv_id", "left_semi"),
     )
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
     # kernel only sees reps that collide on prefix_sha. NOT applied to the
     # substring pass — substring dups needn't share prefixes.
-    kernel_input = reps
+    kernel_input = reps_text
     if config.prefix_prefilter:
+        rep_meta = rep_src.join(
+            maybe_merge_hint(rep_ids, config.forced_smj), "conv_id", "left_semi"
+        )
         colliding = (
-            reps.groupBy("prefix_sha")
+            rep_meta.groupBy("prefix_sha")
             .agg(F.count(F.lit(1)).alias("_pn"))
             .filter(F.col("_pn") > 1)
             .select("prefix_sha")
         )
-        kernel_input = reps.join(colliding, "prefix_sha", "left_semi")
+        kernel_ids = rep_meta.join(colliding, "prefix_sha", "left_semi").select("conv_id")
+        kernel_input = reps_text.join(
+            maybe_merge_hint(kernel_ids, config.forced_smj), "conv_id", "left_semi"
+        )
 
     signatures = ckpt("signatures", compute_signatures(kernel_input, config))
+    # narrow (conv_id, simhash) projection checkpoint: the Hamming attaches
+    # otherwise re-read and SMJ-sort the full ~1 KB minhash rows per side
+    # (same no-column-pruning-in-checkpoint-blocks disease as docs_meta)
+    sig_sim = ckpt("sig_simhash", signatures.select("conv_id", "simhash"))
     cand = candidate_pairs(signatures, config)
     confirmed = ckpt(
         "pairs",
-        confirm_pairs(cand, signatures, docs=kdocs, config=config).select(
-            "a", "b", "evidence"
-        ),
+        confirm_pairs(
+            cand, signatures, docs=kmeta, config=config, sim_signatures=sig_sim
+        ).select("a", "b", "evidence"),
     )
 
     edges = exact_edges.select("a", "b", "evidence").unionByName(confirmed)
     if config.enable_substring_pass:
-        sub_edges = substring_pairs(reps, config)
+        sub_edges = substring_pairs(reps_text, config)
         edges = edges.unionByName(sub_edges)
     edges = edges.dropDuplicates(["a", "b"])
 
@@ -245,12 +285,12 @@ def run_pipeline(
     if config.internal_long_ids:
         components = relabel_components(
             components,
-            docs,
+            meta,
             salt_buckets=config.band_salt_buckets,
             forced_smj=config.forced_smj,
         )
     clusters = ckpt("clusters", components)
-    acts = make_actions(clusters, docs, forced_smj=config.forced_smj)
+    acts = make_actions(clusters, meta, forced_smj=config.forced_smj)
     if not analyze_only:
         acts = ckpt("actions", acts)
 

@@ -101,11 +101,19 @@ def test_confirm_attach_never_broadcasts_signatures(spark):
         [(f"c{i}", f"c{i+1}", "lsh") for i in range(0, 40, 2)],
         "a string, b string, evidence string",
     )
-    plan = (
-        confirm_pairs(pairs, sigs, config=cfg)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" not in plan
-    assert "SortMergeJoin" in plan
+    # confirm_pairs lineage-cuts its attach (the joins execute inside the
+    # cut), so pin the join shape on the attach unit itself — both the
+    # narrow (hamming) and the wide (minhash-carrying rescue) forms
+    from deduplicate_spark.operators.simhash import attach_signatures
+
+    for with_minhash in (False, True):
+        plan = (
+            attach_signatures(pairs, sigs, with_minhash=with_minhash)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    # and the full confirm still produces the right pairs through the cut
+    assert confirm_pairs(pairs, sigs, config=cfg).count() == 20
