@@ -176,12 +176,19 @@ def run_pipeline(
     lazily but never materialized or checkpointed by the pipeline itself."""
     config = config or DedupConfig()
 
-    def ckpt(name: str, df: DataFrame, eager: bool = False) -> DataFrame:
+    def ckpt(
+        name: str, df: DataFrame, eager: bool = False, spill_only: bool = False
+    ) -> DataFrame:
         if store is not None:
             return store.stage(name, df)
-        return df.transform(lambda _df: cut_lineage(_df, eager=eager))
+        return df.transform(
+            lambda _df: cut_lineage(_df, eager=eager, spill_only=spill_only)
+        )
 
-    docs = ckpt("docs", assemble_docs(turns, config))
+    # spill_only: the full-text blocks are cold after the meta/text
+    # projections are built — keep them out of the unified memory pool
+    # (measured OOM class at 6.5M turns/local[2], see lineage.py)
+    docs = ckpt("docs", assemble_docs(turns, config), spill_only=True)
 
     # COLUMNAR CHECKPOINT SPLIT: localCheckpoint blocks are row-cached with
     # no column pruning, so every consumer of the full docs table re-reads
