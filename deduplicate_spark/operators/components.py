@@ -21,11 +21,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 from deduplicate_spark.lineage import cut_lineage
 from deduplicate_spark.operators.skew import maybe_merge_hint
 
 
 DRIVER_CC_MAX_EDGES = 5_000_000
+# byte budget for the driver fast path (VERDICT r4 #4): 5M edges of 8-byte
+# longs is ~80 MB on the driver, but 5M edges of ~32-char string ids is
+# 700 MB+ as pandas objects — gate on ESTIMATED BYTES (measured avg id
+# width x rows), not a flat row count
+DRIVER_CC_MAX_BYTES = 200 * 1024 * 1024
+_PANDAS_STR_OVERHEAD = 64  # CPython str object + pointer overhead per cell
 
 
 def connected_components(
@@ -55,9 +62,21 @@ def connected_components(
     # union-find on the driver beats O(diameter) distributed rounds. The
     # classic treeAggregate-style "small data finishes on the driver"
     # pattern — the distributed loop below remains the >threshold path.
+    # Gate on BYTES as well as rows: long ids pull 16 B/edge as numpy,
+    # string ids (internal_long_ids=False) pull ~2*(len+64) B/edge as
+    # pandas objects — the measured-width agg runs on the already-cached
+    # edge blocks, so it is one cheap job over two long columns.
     n_edges = pairs.count()
     if driver_max_edges and n_edges <= driver_max_edges:
-        return _driver_union_find(pairs)
+        if isinstance(pairs.schema["a"].dataType, LongType):
+            est_bytes = n_edges * 16
+        else:
+            w = pairs.agg(
+                (F.avg(F.length("a")) + F.avg(F.length("b"))).alias("w")
+            ).first()
+            est_bytes = int(n_edges * ((w.w or 0) + 2 * _PANDAS_STR_OVERHEAD))
+        if est_bytes <= DRIVER_CC_MAX_BYTES:
+            return _driver_union_find(pairs)
 
     sym = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))

@@ -89,7 +89,10 @@ def candidate_pairs(
     # AQE-splittable join-back; window form for salt<=1 (small corpora).
     # Shared with the substring pass — see operators/skew.py.
     tagged = tag_bucket_stats(
-        buckets, "band_hash", salt_buckets=config.band_salt_buckets
+        buckets,
+        "band_hash",
+        salt_buckets=config.band_salt_buckets,
+        forced_smj=config.forced_smj,
     ).select("conv_id", "band_hash", "bucket_n", "bucket_rep").transform(
         lambda _df: cut_lineage(_df, eager=False)
     )

@@ -153,12 +153,16 @@ def confirm_pairs(
         confirmed_ham = ham_ok.select(
             "a", "b", F.lit("near").alias("evidence"), "hamming"
         )
-        # cheap short-circuit on the ALREADY-NARROW base (one action; its
-        # lineage-cut blocks are reused by ham_ok): when no candidate lands
-        # in the rescue band — the common case — skip the wide attach
-        # entirely, saving two full SMJ sort passes over the 1 KB/row
-        # minhash table (measured ~60 s-cpu of 365 at 1.6M turns)
-        if near_miss.isEmpty():
+        # opt-in short-circuit on the ALREADY-NARROW base (its lineage-cut
+        # blocks are reused by ham_ok): when no candidate lands in the
+        # rescue band — the common case — skip the wide attach entirely,
+        # saving two full SMJ sort passes over the 1 KB/row minhash table
+        # (measured ~60 s-cpu of 365 at 1.6M turns). The isEmpty is ONE
+        # EAGER JOB at plan-construction time, so it is gated on
+        # config.rescue_short_circuit: run_pipeline resolves it True only
+        # for measured-big corpora; small/interactive plans stay fully
+        # lazy (ADVICE r4 — None at this level means "stay lazy").
+        if config.rescue_short_circuit and near_miss.isEmpty():
             return confirmed_ham
         rescued = est_jaccard_filter(
             attach_signatures(

@@ -21,10 +21,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def maybe_merge_hint(df: DataFrame, forced: bool = True) -> DataFrame:
+def maybe_merge_hint(df: DataFrame, forced: bool | None = True) -> DataFrame:
     """Apply the forced-SMJ insurance hint unless the caller opted out
-    (config.forced_smj=False for interactive small-corpus use)."""
-    return df.hint("merge") if forced else df
+    (config.forced_smj=False for interactive small-corpus use).
+
+    ``forced=None`` (the config default, meaning "auto off a measured
+    corpus size") is treated as True here: an operator called directly —
+    outside run_pipeline's measured resolution — has no count to gate on,
+    and scale-safe is the right unmeasured default."""
+    return df.hint("merge") if (forced or forced is None) else df
+
+
+def measured_forced_smj(n_docs: int, total_bytes: int, config) -> bool:
+    """The MEASURED gate behind ``DedupConfig.forced_smj=None``: real
+    counts, not planner estimates (which are exactly what mis-admitted the
+    OOM'd broadcasts — see module docstring). Forces SMJ when any of the
+    three measured broadcast-risk proxies crosses the byte/row thresholds:
+    corpus rows, total text bytes (the text-attach build side), or the
+    signature table's exact bytes (n_docs * num_perm * 8 — the 1 KB/row
+    minhash side that built a 1.15 GB broadcast at 6.5M turns)."""
+    return (
+        n_docs > config.forced_smj_min_docs
+        or total_bytes > config.forced_smj_min_bytes
+        or n_docs * config.num_perm * 8 > config.forced_smj_min_bytes
+    )
 
 
 def tag_bucket_stats(

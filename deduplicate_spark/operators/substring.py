@@ -30,9 +30,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataclasses import replace
+
 from deduplicate_spark.config import DedupConfig
 from deduplicate_spark.operators.minhash import _splitmix64
-from deduplicate_spark.operators.skew import maybe_merge_hint, tag_bucket_stats
+from deduplicate_spark.operators.skew import (
+    maybe_merge_hint,
+    measured_forced_smj,
+    tag_bucket_stats,
+)
 from deduplicate_spark.lineage import cut_lineage
 
 
@@ -211,13 +217,27 @@ def substring_pairs(
     # produce (measured: 13k -> ~2k candidate pairs at sf0.1, verify was
     # 90% of stage wall)
     docs = docs.filter(F.octet_length("doc_text") >= config.substring_min_len)
+    if config.forced_smj is None:
+        # direct-call path (run_pipeline passes an already-resolved config):
+        # resolve the forced-SMJ insurance off a MEASURED corpus size. The
+        # eager cut materializes the filtered docs once; the stats agg and
+        # the fingerprint/text-attach stages below all read the same blocks
+        # instead of re-running assembly, so the measurement is ~free.
+        docs = cut_lineage(docs, eager=True)
+        st = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.octet_length("doc_text")), F.lit(0)).alias("b"),
+        ).first()
+        config = replace(
+            config, forced_smj=measured_forced_smj(st.n, st.b, config)
+        )
     fps = doc_fingerprints(docs, config)
 
     # salted stats (VERDICT r2 #2): a winnowing fingerprint shared by 10^7
     # boilerplate docs at 100 TB must not become a one-task window straggler
     # — same skew-safe helper as the LSH band stage.
     annotated = tag_bucket_stats(
-        fps, "fp", salt_buckets=config.band_salt_buckets
+        fps, "fp", salt_buckets=config.band_salt_buckets, forced_smj=config.forced_smj
     ).transform(lambda _df: cut_lineage(_df, eager=False))  # consumed by both small and large branches
 
     small = annotated.filter(F.col("bucket_n") <= allpairs_max)

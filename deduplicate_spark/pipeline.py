@@ -19,7 +19,7 @@ through the star edge.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +34,7 @@ from deduplicate_spark.operators.resolve import cluster_report
 from deduplicate_spark.operators.simhash import confirm_pairs
 from deduplicate_spark.operators.skew import (
     maybe_merge_hint,
+    measured_forced_smj,
     salted_struct_min,
     tag_bucket_stats,
 )
@@ -141,22 +142,56 @@ def relabel_components(
     )
 
 
-def assert_no_id_collisions(docs: DataFrame, hash_col=None) -> None:
-    """Fail loudly if two distinct conv_ids share an xxhash64 value
-    (ADVICE r3): a collision would silently merge two unrelated docs under
-    ``internal_long_ids`` and could mark a unique doc for deletion. One
-    count-vs-countDistinct aggregation over the (already-checkpointed) docs
-    table; the distinct runs on 8-byte longs with map-side partials."""
+def corpus_stats(
+    docs: DataFrame, hash_col=None, verify_ids: bool = True
+):
+    """ONE aggregation over the (already-checkpointed) narrow docs_meta
+    table that serves two callers: the measured forced-SMJ gate (n docs +
+    total text bytes — real counts, not planner estimates) and the
+    long-id collision guard (ADVICE r3). The distinct runs on 8-byte longs
+    with map-side partials; skipping verification drops the countDistinct
+    columns so the gate-only path is a plain count/sum."""
     hash_col = F.xxhash64("conv_id") if hash_col is None else hash_col
-    chk = docs.agg(
+    size_col = (
+        F.sum("total_len") if "total_len" in docs.columns else F.lit(0)
+    )
+    aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(hash_col).alias("d"),
-    ).first()
-    if chk.n != chk.d:
+        F.coalesce(size_col, F.lit(0)).alias("total_bytes"),
+    ]
+    if verify_ids:
+        aggs += [
+            F.countDistinct("conv_id").alias("d_id"),
+            F.countDistinct(hash_col).alias("d_hash"),
+            F.count(F.when(F.col("conv_id").isNull(), F.lit(1))).alias("n_null"),
+        ]
+    return docs.agg(*aggs).first()
+
+
+def assert_no_id_collisions(docs: DataFrame, hash_col=None, stats=None) -> None:
+    """Fail loudly — with the RIGHT diagnosis (ADVICE r4) — when the
+    internal long-id mapping is unsafe: a null conv_id, duplicate conv_id
+    rows, and a genuine xxhash64 collision are three different defects with
+    three different fixes; only the last is cured by
+    ``internal_long_ids=False``. A collision would silently merge two
+    unrelated docs and could mark a unique doc for deletion."""
+    stats = stats if stats is not None else corpus_stats(docs, hash_col)
+    if stats.n_null:
         raise ValueError(
-            f"xxhash64(conv_id) collision detected ({chk.n} docs, {chk.d} "
-            "distinct hashes): rerun with DedupConfig(internal_long_ids="
-            "False) for the exact string-id path, or dedupe conv_ids"
+            f"{stats.n_null} null conv_id rows: conv_id must be non-null "
+            "(assign stable ids upstream before dedup)"
+        )
+    if stats.d_id != stats.n:
+        raise ValueError(
+            f"duplicate conv_id rows detected ({stats.n} docs, {stats.d_id} "
+            "distinct conv_ids): conv_id must be unique per conversation — "
+            "dedupe the input keys upstream"
+        )
+    if stats.d_hash != stats.d_id:
+        raise ValueError(
+            f"xxhash64(conv_id) collision detected ({stats.d_id} distinct "
+            f"conv_ids, {stats.d_hash} distinct hashes): rerun with "
+            "DedupConfig(internal_long_ids=False) for the exact string-id path"
         )
 
 
@@ -203,8 +238,27 @@ def run_pipeline(
     # full-text docs blocks before the narrow blocks land (measured: one
     # extra 366 MB pass per racing consumer)
     meta = ckpt("docs_meta", docs.drop("doc_text"), eager=True)
-    if config.internal_long_ids and config.verify_long_ids:
-        assert_no_id_collisions(meta)
+
+    # MEASURED forced-SMJ / rescue resolution (VERDICT r4 #1): one
+    # aggregation over the just-materialized narrow meta blocks yields real
+    # corpus counts — the gate planner estimates cannot be trusted for
+    # (estimate-admitted broadcasts are the measured OOM class). The same
+    # pass doubles as the long-id collision guard, so the guard costs no
+    # extra job when both are on.
+    verify = config.internal_long_ids and config.verify_long_ids
+    if verify or config.forced_smj is None or config.rescue_short_circuit is None:
+        stats = corpus_stats(meta, verify_ids=verify)
+        if verify:
+            assert_no_id_collisions(meta, stats=stats)
+        if config.forced_smj is None or config.rescue_short_circuit is None:
+            big = measured_forced_smj(stats.n, stats.total_bytes, config)
+            config = replace(
+                config,
+                forced_smj=big if config.forced_smj is None else config.forced_smj,
+                rescue_short_circuit=big
+                if config.rescue_short_circuit is None
+                else config.rescue_short_circuit,
+            )
 
     # internal id representation: every stage from here to CC treats
     # conv_id opaquely, so the whole kernel path can run on 8-byte
@@ -265,6 +319,29 @@ def run_pipeline(
         )
 
     signatures = ckpt("signatures", compute_signatures(kernel_input, config))
+    if store is not None:
+        # no-silent-caps telemetry (VERDICT r4 #8): record the LSH bucket
+        # histogram + star-fallback count in the run's metrics table on
+        # every checkpointed run (previously computed only when a caller
+        # asked). One aggregation over the already-persisted signature
+        # blocks; skipped for store-less (fully lazy) runs.
+        from deduplicate_spark.operators.lsh import bucket_stats
+
+        bs = bucket_stats(signatures, config).first()
+        store.metrics.append(
+            {
+                "stage": "lsh_bucket_stats",
+                "config_hash": store.config_hash,
+                "input_key": store.input_key,
+                "rows": bs.n_buckets,
+                "reused": False,
+                "extra": {
+                    "max_bucket": bs.max_bucket,
+                    "n_star_fallback": bs.n_star_fallback,
+                    "est_edges": bs.est_edges,
+                },
+            }
+        )
     # narrow (conv_id, simhash) projection checkpoint: the Hamming attaches
     # otherwise re-read and SMJ-sort the full ~1 KB minhash rows per side
     # (same no-column-pruning-in-checkpoint-blocks disease as docs_meta)

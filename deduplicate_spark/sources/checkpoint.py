@@ -120,7 +120,11 @@ class CheckpointStore:
                 pdf[col] = float("nan")
         if "reused" in pdf.columns:
             pdf["reused"] = pdf["reused"].astype(bool)
-        for col in ("stage", "config_hash", "input_key", "written_at", "format"):
+        if "extra" in pdf.columns:
+            pdf["extra"] = pdf["extra"].map(
+                lambda v: json.dumps(v) if isinstance(v, dict) else v
+            )
+        for col in ("stage", "config_hash", "input_key", "written_at", "format", "extra"):
             if col in pdf.columns:
                 pdf[col] = pdf[col].astype("string")
             else:
@@ -128,7 +132,7 @@ class CheckpointStore:
         schema = (
             "stage string, config_hash string, input_key string, rows double, "
             "wall_sec double, partitions double, written_at string, "
-            "format string, reused boolean"
+            "format string, reused boolean, extra string"
         )
         cols = [c.split()[0] for c in schema.split(", ")]
         self.spark.createDataFrame(pdf[cols], schema=schema).write.mode(

@@ -112,8 +112,16 @@ def pruned_state_read(
     ``mods``. The isin predicate on the partition column is resolved at
     PLANNING time (PartitionFilters in the scan) — untouched partitions are
     never listed, opened, or read; per-batch bytes scale with the batch's
-    key spread, not with accumulated history."""
-    return spark.read.parquet(path).filter(F.col(mod_col).isin(mods)).drop(mod_col)
+    key spread, not with accumulated history.
+
+    Legacy-layout fallback (ADVICE r4): a state directory written before
+    the table was kmod-partitioned has no partition column — fall back to
+    an unpruned read instead of failing on the missing column; the next
+    overwrite of that table migrates it to the partitioned layout."""
+    df = spark.read.parquet(path)
+    if mod_col not in df.columns:
+        return df
+    return df.filter(F.col(mod_col).isin(mods)).drop(mod_col)
 
 
 def _with_mod(df: DataFrame, key: str, n: int, mod_col: str = "kmod") -> DataFrame:
@@ -407,7 +415,12 @@ def process_batch_buffered(
     batch_convs = turns_batch.select("conv_id").distinct()
 
     metrics = {"late_turn_convs": 0, "released_convs": 0}
-    if batch_seq > 0 and _table_exists(spark, state.released_path):
+    # run the released-conv late check whenever released state EXISTS — not
+    # only when batch_seq > 0 (ADVICE r4): a restarted stream may re-enter
+    # at a reset seq while prior releases are on disk, and skipping the
+    # check would re-buffer + re-release already-released conversations
+    # with partial turn sets
+    if _table_exists(spark, state.released_path):
         cmods = _collect_mods(batch_convs, "conv_id", n)
         released = pruned_state_read(spark, state.released_path, cmods)
         late = batch_convs.join(released, "conv_id", "left_semi").transform(
@@ -418,7 +431,15 @@ def process_batch_buffered(
             turns_batch = turns_batch.join(late, "conv_id", "left_anti")
             batch_convs = batch_convs.join(late, "conv_id", "left_anti")
 
-    wmode = "overwrite" if batch_seq == 0 else "append"
+    # reset the buffer tables only on a genuinely FRESH run (seq 0 with no
+    # buffered state on disk) — a restarted stream that re-enters at seq 0
+    # must APPEND, not silently destroy buffered-but-unreleased turns
+    # (ADVICE r4 medium; seq==0-means-overwrite was the restart footgun)
+    wmode = (
+        "overwrite"
+        if batch_seq == 0 and not _table_exists(spark, state.turns_path)
+        else "append"
+    )
     _with_mod(turns_batch, "conv_id", n).write.mode(wmode).partitionBy("kmod").parquet(
         state.turns_path
     )
@@ -484,7 +505,17 @@ def stream_turns(
     and fold each micro-batch into the dedup state via foreachBatch.
     ``buffer_lag`` switches to the cross-batch-conversation buffered mode
     (see :func:`process_batch_buffered`); remember to call
-    :func:`flush_buffered` after stopping the stream."""
+    :func:`flush_buffered` after stopping the stream.
+
+    RESTART-SAFE (VERDICT/ADVICE r4 — the r4 wrapper kept first/seq in
+    driver memory, so a checkpoint restart re-entered with
+    ``first_batch=True`` and overwrote accumulated state): ``first_batch``
+    is derived from whether the docs state table EXISTS on disk, and the
+    buffered mode's ``batch_seq`` cursor is recovered from the persisted
+    pending log (``max(seen_seq) + 1``) — the state itself is the cursor,
+    so a restarted stream appends after prior batches instead of resetting
+    to zero. Both probes run once at the first post-(re)start batch, then
+    the in-memory counter takes over for the life of the query."""
     from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
 
     config = config or DedupConfig()
@@ -494,18 +525,31 @@ def stream_turns(
         .parquet(source_path)
     )
 
-    seen = {"first": True, "seq": 0}
+    seen: dict[str, int | None] = {"seq": None}
 
     def handle(batch_df: DataFrame, _epoch: int) -> None:
         if buffer_lag is not None:
+            if seen["seq"] is None:
+                seen["seq"] = (
+                    spark.read.parquet(state.pending_path)
+                    .agg(F.max("seen_seq") + 1)
+                    .first()[0]
+                    if _table_exists(spark, state.pending_path)
+                    else 0
+                ) or 0
             process_batch_buffered(
                 spark, batch_df, state, config,
                 batch_seq=seen["seq"], buffer_lag=buffer_lag,
             )
             seen["seq"] += 1
             return
-        process_batch(spark, batch_df, state, config, first_batch=seen["first"])
-        seen["first"] = False
+        process_batch(
+            spark,
+            batch_df,
+            state,
+            config,
+            first_batch=not _table_exists(spark, state.docs_path),
+        )
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint_location:

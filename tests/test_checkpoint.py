@@ -99,6 +99,28 @@ def test_resume_equals_clean_run(spark, turns_df, tmp_path):
     assert "docs" in reused and "signatures" in reused and "pairs" in reused
 
 
+def test_store_run_records_bucket_stats(spark, turns_df, tmp_path):
+    """VERDICT r4 #8: checkpointed runs persist the LSH bucket telemetry
+    (histogram summary + star-fallback count — the no-silent-caps
+    requirement) into the metrics table, not only on explicit request."""
+    cfg = DedupConfig()
+    store = CheckpointStore(
+        spark=spark,
+        root=str(tmp_path / "bs"),
+        config_hash=cfg.config_hash(),
+        input_key="corpus",
+    )
+    run_pipeline(spark, turns_df, cfg, store=store)
+    rows = [m for m in store.metrics if m["stage"] == "lsh_bucket_stats"]
+    assert len(rows) == 1
+    assert {"max_bucket", "n_star_fallback", "est_edges"} <= set(rows[0]["extra"])
+    store.write_metrics()
+    mt = spark.read.parquet(os.path.join(store.root, "_metrics.parquet"))
+    row = mt.filter("stage = 'lsh_bucket_stats'").first()
+    assert row is not None
+    assert json.loads(row.extra)["n_star_fallback"] is not None
+
+
 def test_merge_runs_first_writer_wins(spark, tmp_path):
     s1 = CheckpointStore(spark, str(tmp_path / "r1"), "cfg", "in1")
     s2 = CheckpointStore(spark, str(tmp_path / "r2"), "cfg", "in2")

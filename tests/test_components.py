@@ -25,6 +25,17 @@ def test_single_edge(spark, driver_max):
     assert _cc(spark, [("a", "b")], driver_max) == {"a": "a", "b": "a"}
 
 
+def test_driver_cc_byte_gate_falls_back_to_distributed(spark, monkeypatch):
+    """VERDICT r4 #4: the driver fast path is gated on ESTIMATED BYTES, not
+    just rows — string-id edge lists that would blow the driver fall back
+    to the distributed loop (simulated by shrinking the byte budget)."""
+    from deduplicate_spark.operators import components as comp
+
+    monkeypatch.setattr(comp, "DRIVER_CC_MAX_BYTES", 1)
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")], 5_000_000)
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_chain_converges_to_min(spark, driver_max):
     """Chains (the non-transitive near-dup worry) still collapse to one
     component with min-id label."""

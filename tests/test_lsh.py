@@ -119,3 +119,39 @@ def test_min_jaccard_rescue_band(spark):
     got = {r.b: r.hamming for r in confirm_pairs(pairs, sigs, config=cfg).collect()}
     assert set(got) == {"B", "E"}
     assert got["B"] == cfg.simhash_hamming_max + 1
+
+    # the eager rescue short-circuit (opt-in, ADVICE r4) must not change
+    # the confirmed set — only skip the wide attach when the band is empty
+    from dataclasses import replace as _replace
+
+    for flag in (True, False):
+        got_f = {
+            r.b
+            for r in confirm_pairs(
+                pairs, sigs, config=_replace(cfg, rescue_short_circuit=flag)
+            ).collect()
+        }
+        assert got_f == {"B", "E"}, flag
+
+
+def test_rescue_short_circuit_skips_wide_attach_when_band_empty(spark):
+    """With no candidate in the near-miss band, rescue_short_circuit=True
+    returns only the hamming-confirmed pairs (the wide minhash attach is
+    skipped entirely)."""
+    from dataclasses import replace as _replace
+
+    from deduplicate_spark.operators.simhash import confirm_pairs
+
+    cfg = DedupConfig(num_perm=8, lsh_bands=4, lsh_rows=2, simhash_hamming_max=4)
+    mh = [int(i) for i in range(8)]
+    sigs = spark.createDataFrame(
+        [("A", 0, mh), ("B", 3, mh)],  # hamming(A,B)=2 <= 4: confirmed outright
+        "conv_id string, simhash long, minhash array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B", "lsh")], "a string, b string, evidence string"
+    )
+    out = confirm_pairs(
+        pairs, sigs, config=_replace(cfg, rescue_short_circuit=True)
+    )
+    assert {(r.a, r.b) for r in out.collect()} == {("A", "B")}

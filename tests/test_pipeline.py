@@ -207,6 +207,53 @@ def test_relabel_join_never_broadcasts(spark):
     assert out.count() == 50
 
 
+def test_auto_forced_smj_resolution_output_invariant(spark):
+    """forced_smj=None (default) resolves from measured corpus size inside
+    run_pipeline; on any corpus the resolved plan must produce outputs
+    identical to both explicit settings."""
+    from deduplicate_spark.config import DedupConfig
+    from deduplicate_spark.datagen import generate_transcripts
+    from deduplicate_spark.pipeline import run_pipeline
+    from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
+
+    turns_pd, _ = generate_transcripts(n_base=20, seed=61)
+    turns = spark.createDataFrame(turns_pd, schema=TRANSCRIPTS_SCHEMA)
+
+    def snap(cfg):
+        res = run_pipeline(spark, turns, cfg)
+        return (
+            {(r.conv_id, r.cluster_id) for r in res.clusters.collect()},
+            {
+                (r.conv_id, r.canonical_conv_id, r.action)
+                for r in res.actions.collect()
+            },
+        )
+
+    auto = snap(DedupConfig())  # resolves False at this scale
+    assert auto == snap(DedupConfig(forced_smj=True, rescue_short_circuit=True))
+    assert auto == snap(DedupConfig(forced_smj=False, rescue_short_circuit=False))
+    assert len(auto[0]) > 0
+
+
+def test_collision_guard_distinguishes_defects(spark):
+    """ADVICE r4: null conv_id, duplicate conv_id, and a genuine hash
+    collision are three different defects — the guard must name the right
+    one (the old message always prescribed internal_long_ids=False, which
+    only fixes the collision case)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from deduplicate_spark.pipeline import assert_no_id_collisions
+
+    dup = spark.createDataFrame([("a",), ("a",), ("b",)], "conv_id string")
+    with _pytest.raises(ValueError, match="duplicate conv_id"):
+        assert_no_id_collisions(dup)
+    nulls = spark.createDataFrame([("a",), (None,)], "conv_id string")
+    with _pytest.raises(ValueError, match="null conv_id"):
+        assert_no_id_collisions(nulls)
+
+
 def test_long_id_collision_guard(spark):
     """ADVICE r3: the internal_long_ids path must fail loudly when two
     conv_ids collide in xxhash64 (injected here via a constant hash column —

@@ -117,3 +117,35 @@ def test_confirm_attach_never_broadcasts_signatures(spark):
         assert "SortMergeJoin" in plan, plan
     # and the full confirm still produces the right pairs through the cut
     assert confirm_pairs(pairs, sigs, config=cfg).count() == 20
+
+
+def test_measured_forced_smj_gate():
+    """forced_smj=None resolves off MEASURED corpus counts (VERDICT r4 #1):
+    small corpora keep planner freedom; any of the three broadcast-risk
+    proxies (rows, text bytes, signature bytes) forces the SMJ insurance."""
+    from deduplicate_spark.operators.skew import measured_forced_smj
+
+    cfg = DedupConfig()
+    assert not measured_forced_smj(5_000, 2_000_000, cfg)  # sf0.1-scale: free
+    assert measured_forced_smj(2_000_000, 0, cfg)  # row gate
+    assert measured_forced_smj(1_000, 100 * 1024 * 1024, cfg)  # text bytes
+    # signature-table bytes: n_docs * num_perm * 8 = 100k * 1 KB > 64 MB —
+    # the measured 1.15 GB broadcast class at 6.5M turns trips this proxy
+    assert measured_forced_smj(100_000, 0, cfg)
+
+
+def test_maybe_merge_hint_none_is_scale_safe(spark):
+    """An operator called with forced=None (no measurement available) must
+    keep the merge hint — None only relaxes via run_pipeline's measured
+    resolution, never silently."""
+    from deduplicate_spark.operators.skew import maybe_merge_hint
+
+    small = spark.range(10).select(F.col("id").alias("k"))
+    big = spark.range(1000).select(F.col("id").alias("k"))
+    plan = (
+        big.join(maybe_merge_hint(small, None), "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
