@@ -110,8 +110,15 @@ def run_once(cores: int, input_path: str, wh_dir: str | None = None) -> float:
     # mapInPandas forks the Python workers and the first run of each plan
     # shape pays whole-stage codegen — one-time per-SESSION costs, not
     # pipeline throughput; on a real cluster they amortize over the job.
-    # Both parallelism levels get the identical warmup.
-    run_pipeline(spark, turns.limit(800), DedupConfig()).actions.count()
+    # Both parallelism levels get the identical warmup. Pin the knobs the
+    # timed run will RESOLVE at this corpus size (forced SMJ + rescue
+    # short-circuit are measured-big here) so warmup compiles the same
+    # plan shapes the timed run executes.
+    run_pipeline(
+        spark,
+        turns.limit(800),
+        DedupConfig(forced_smj=True, rescue_short_circuit=True),
+    ).actions.count()
     t0 = time.time()
     res = run_pipeline(spark, turns, DedupConfig())
     res.actions.count()

@@ -101,8 +101,14 @@ def run_once(n_execs: int, cores_per_exec: int, mem_mb: int, input_path: str) ->
     turns = spark.read.parquet(input_path)
     turns.count()  # warm file listing / page cache uniformly
     # untimed session warmup (same protocol as bench.py / scaling.py):
-    # Python-worker fork + whole-stage codegen are per-session costs
-    run_pipeline(spark, turns.limit(800), DedupConfig()).actions.count()
+    # Python-worker fork + whole-stage codegen are per-session costs;
+    # pin the knobs the timed run resolves at scale so the warmed plan
+    # shapes match
+    run_pipeline(
+        spark,
+        turns.limit(800),
+        DedupConfig(forced_smj=True, rescue_short_circuit=True),
+    ).actions.count()
     t0 = time.time()
     res = run_pipeline(spark, turns, DedupConfig())
     res.actions.count()

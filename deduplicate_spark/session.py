@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # survive long full-GC pauses on big heaps at low core counts
+        # (measured: a 26M-turn local[2]/24g run died at the default 120s
+        # executor-liveness timeout during a ~140s GC pause inside a giant
+        # localCheckpoint — the job itself was healthy). 10 min matches
+        # what production clusters commonly run for spark.network.timeout.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
