@@ -109,6 +109,16 @@ class DedupConfig:
     # (same gate as forced_smj), so small/interactive plans stay fully lazy
     # (ADVICE r4: the unconditional isEmpty made every pipeline eager).
     rescue_short_circuit: bool | None = None
+    # kernel-parallelism floor (skew.measured_small_corpus): AQE sizes
+    # shuffle partitions by bytes (1 MB floor), which starves the CPU-bound
+    # mapInPandas kernels of cores on small corpora (measured: 1-task
+    # signature stages bounding the sf0.1 wall). None = AUTO off the same
+    # measured corpus stats as forced_smj: small corpora repartition the
+    # (tiny) kernel input to shuffle_partitions first; big corpora never
+    # pay the extra text shuffle. True/False pin it; operators treat None
+    # as False when called outside run_pipeline (scale-safe: no new
+    # exchange without a measurement).
+    kernel_small_corpus: bool | None = None
     # guard the internal_long_ids path: an xxhash64(conv_id) collision
     # silently merges two unrelated docs, and make_actions can then mark a
     # unique doc for deletion. Expected collisions ~n^2/2^65: ~0.03 at 1B

@@ -47,6 +47,25 @@ def measured_forced_smj(n_docs: int, total_bytes: int, config) -> bool:
     )
 
 
+# kernel-parallelism floor gate (measured, small-corpus only): AQE coalesces
+# shuffle partitions by BYTES with a 1 MB floor, so a bench-scale corpus
+# (~25 MB of text) lands in 1-4 partitions — and the signature/winnowing
+# kernels, which cost ~100x a columnar scan per byte, then run on as many
+# CPU cores (measured at sf0.1/local[32]: the two kernel stages were 1-task,
+# 2.5-2.7 s-cpu each, bounding the whole pipeline wall). Below this gate an
+# explicit repartition of the kernel input costs one pass over a tiny table;
+# above it AQE's parallelism-first coalescing already yields >= one ~>=4 MB
+# partition per slot and the extra text shuffle would be a pure scale tax.
+_KERNEL_SMALL_BYTES_PER_SLOT = 4 << 20
+
+
+def measured_small_corpus(total_bytes: int, config) -> bool:
+    """The MEASURED gate behind ``DedupConfig.kernel_small_corpus=None`` —
+    same real-count philosophy as :func:`measured_forced_smj`. True when
+    the whole corpus is under ``shuffle_partitions x 4 MB``."""
+    return total_bytes < config.shuffle_partitions * _KERNEL_SMALL_BYTES_PER_SLOT
+
+
 def tag_bucket_stats(
     df: DataFrame,
     key: str,

@@ -37,6 +37,7 @@ from deduplicate_spark.operators.minhash import _splitmix64
 from deduplicate_spark.operators.skew import (
     maybe_merge_hint,
     measured_forced_smj,
+    measured_small_corpus,
     tag_bucket_stats,
 )
 from deduplicate_spark.lineage import cut_lineage
@@ -217,21 +218,35 @@ def substring_pairs(
     # produce (measured: 13k -> ~2k candidate pairs at sf0.1, verify was
     # 90% of stage wall)
     docs = docs.filter(F.octet_length("doc_text") >= config.substring_min_len)
-    if config.forced_smj is None:
+    if config.forced_smj is None or config.kernel_small_corpus is None:
         # direct-call path (run_pipeline passes an already-resolved config):
-        # resolve the forced-SMJ insurance off a MEASURED corpus size. The
-        # eager cut materializes the filtered docs once; the stats agg and
-        # the fingerprint/text-attach stages below all read the same blocks
-        # instead of re-running assembly, so the measurement is ~free.
+        # resolve the forced-SMJ insurance + kernel-parallelism floor off a
+        # MEASURED corpus size. The eager cut materializes the filtered docs
+        # once; the stats agg and the fingerprint/text-attach stages below
+        # all read the same blocks instead of re-running assembly, so the
+        # measurement is ~free.
         docs = cut_lineage(docs, eager=True)
         st = docs.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.octet_length("doc_text")), F.lit(0)).alias("b"),
         ).first()
         config = replace(
-            config, forced_smj=measured_forced_smj(st.n, st.b, config)
+            config,
+            forced_smj=measured_forced_smj(st.n, st.b, config)
+            if config.forced_smj is None
+            else config.forced_smj,
+            kernel_small_corpus=measured_small_corpus(st.b, config)
+            if config.kernel_small_corpus is None
+            else config.kernel_small_corpus,
         )
-    fps = doc_fingerprints(docs, config)
+    # kernel-parallelism floor (same measured gate as the signature kernel,
+    # skew.measured_small_corpus): below the gate the filtered docs sit in
+    # 1-4 byte-sized partitions and the CPU-bound winnowing kernel would
+    # run on as many cores; the repartition shuffles only a tiny table
+    fp_input = docs
+    if config.kernel_small_corpus:
+        fp_input = fp_input.repartition(config.shuffle_partitions)
+    fps = doc_fingerprints(fp_input, config)
 
     # salted stats (VERDICT r2 #2): a winnowing fingerprint shared by 10^7
     # boilerplate docs at 100 TB must not become a one-task window straggler

@@ -35,6 +35,7 @@ from deduplicate_spark.operators.simhash import confirm_pairs
 from deduplicate_spark.operators.skew import (
     maybe_merge_hint,
     measured_forced_smj,
+    measured_small_corpus,
     salted_struct_min,
     tag_bucket_stats,
 )
@@ -203,8 +204,10 @@ def run_pipeline(
     analyze_only: bool = False,
 ) -> PipelineResult:
     """turns -> PipelineResult. If ``store`` (a CheckpointStore) is given,
-    each stage persists + is resumable; otherwise everything is lazy with
-    localCheckpoints at iteration boundaries.
+    each stage persists + is resumable; otherwise stages are cut with
+    localCheckpoints — the narrow meta projection and the kernel-feeding
+    tables materialize eagerly at construction (racing lazy consumers
+    would recompute them, see the ckpt call sites), the rest stay lazy.
 
     ``analyze_only`` mirrors the reference --analyze (deduplicate.py:459-461):
     stop after clusters — the actions/report DataFrames are still returned
@@ -246,18 +249,27 @@ def run_pipeline(
     # pass doubles as the long-id collision guard, so the guard costs no
     # extra job when both are on.
     verify = config.internal_long_ids and config.verify_long_ids
-    if verify or config.forced_smj is None or config.rescue_short_circuit is None:
+    unresolved = (
+        config.forced_smj is None
+        or config.rescue_short_circuit is None
+        or config.kernel_small_corpus is None
+    )
+    if verify or unresolved:
         stats = corpus_stats(meta, verify_ids=verify)
         if verify:
             assert_no_id_collisions(meta, stats=stats)
-        if config.forced_smj is None or config.rescue_short_circuit is None:
+        if unresolved:
             big = measured_forced_smj(stats.n, stats.total_bytes, config)
+            small = measured_small_corpus(stats.total_bytes, config)
             config = replace(
                 config,
                 forced_smj=big if config.forced_smj is None else config.forced_smj,
                 rescue_short_circuit=big
                 if config.rescue_short_circuit is None
                 else config.rescue_short_circuit,
+                kernel_small_corpus=small
+                if config.kernel_small_corpus is None
+                else config.kernel_small_corpus,
             )
 
     # internal id representation: every stage from here to CC treats
@@ -292,11 +304,17 @@ def run_pipeline(
         "exact_sha",
         salt_buckets=config.band_salt_buckets,
     ).select(F.col("_ord").alias("conv_id"))
-    # checkpointed so the text table is evaluated ONCE no matter how many
-    # kernel consumers follow (signatures + optional substring pass)
+    # checkpointed EAGERLY so the text table is evaluated ONCE no matter how
+    # many kernel consumers follow (signatures + optional substring pass):
+    # with a lazy cut, AQE materializes independent downstream stages
+    # concurrently and each racing consumer re-runs the text semi-join
+    # before the checkpoint blocks land (same race as docs_meta above —
+    # measured at sf0.1: the signature kernel executed TWICE, two
+    # concurrent 1-task ~2.6 s-cpu stages)
     reps_text = ckpt(
         "reps_text",
         ktext.join(maybe_merge_hint(rep_ids, config.forced_smj), "conv_id", "left_semi"),
+        eager=True,
     )
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
@@ -318,7 +336,19 @@ def run_pipeline(
             maybe_merge_hint(kernel_ids, config.forced_smj), "conv_id", "left_semi"
         )
 
-    signatures = ckpt("signatures", compute_signatures(kernel_input, config))
+    # kernel-parallelism floor (measured gate, see skew.measured_small_corpus):
+    # on a small corpus the checkpointed kernel input sits in 1-4 byte-sized
+    # partitions — spread it across the configured parallelism before the
+    # CPU-bound kernel; the repartition shuffles only the tiny table the
+    # gate just measured. Never applied above the gate (no new exchange at
+    # scale, where AQE already yields >= a partition per slot).
+    if config.kernel_small_corpus:
+        kernel_input = kernel_input.repartition(config.shuffle_partitions)
+
+    # eager: signatures feed three consumers (sig_simhash projection, LSH
+    # bands, rescue attach) — a lazy cut lets the first two race and run
+    # the MinHash kernel twice (measured, see reps_text above)
+    signatures = ckpt("signatures", compute_signatures(kernel_input, config), eager=True)
     if store is not None:
         # no-silent-caps telemetry (VERDICT r4 #8): record the LSH bucket
         # histogram + star-fallback count in the run's metrics table on

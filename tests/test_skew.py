@@ -149,3 +149,27 @@ def test_maybe_merge_hint_none_is_scale_safe(spark):
         .toString()
     )
     assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_measured_small_corpus_gate():
+    """kernel_small_corpus=None resolves off the MEASURED text bytes: tiny
+    corpora get the kernel-parallelism floor (AQE's byte-based coalescing
+    would hand the CPU-bound kernels 1-4 partitions), big corpora never pay
+    the extra text shuffle."""
+    from deduplicate_spark.operators.skew import measured_small_corpus
+
+    cfg = DedupConfig()  # shuffle_partitions=32 -> gate at 128 MB
+    assert measured_small_corpus(25 * 1024 * 1024, cfg)  # sf0.1-scale text
+    assert not measured_small_corpus(1_600 * 1024 * 1024, cfg)  # 6.5M turns
+
+
+def test_kernel_parallelism_floor_applied_when_small(spark, turns_df):
+    """On a measured-small corpus the signature kernel input is spread to
+    shuffle_partitions tasks (the checkpointed signatures table carries the
+    repartitioned partitioning); pinned False leaves the plan untouched."""
+    from deduplicate_spark.pipeline import run_pipeline
+
+    res = run_pipeline(spark, turns_df, DedupConfig())  # auto-resolves small
+    assert res.signatures.rdd.getNumPartitions() == DedupConfig().shuffle_partitions
+    res_off = run_pipeline(spark, turns_df, DedupConfig(kernel_small_corpus=False))
+    assert res_off.signatures.rdd.getNumPartitions() < DedupConfig().shuffle_partitions
