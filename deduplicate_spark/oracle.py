@@ -19,7 +19,7 @@ import pandas as pd
 
 from deduplicate_spark.config import DedupConfig, EMPTY_SHA1
 from deduplicate_spark.operators.minhash import (
-    minhash_signature,
+    doc_signature,
     perm_params,
     shingle_hashes,
     simhash64,
@@ -101,7 +101,7 @@ def oracle_dup_pairs(
     for conv_id, text in zip(reps["conv_id"], reps["doc_text"]):
         sh = shingle_hashes(text, config.shingle_k, config.max_shingle_chars)
         shingles[conv_id] = sh
-        sigs[conv_id] = minhash_signature(sh, a, b)
+        sigs[conv_id] = doc_signature(sh, config, a, b)
         sims[conv_id] = simhash64(sh)
 
     buckets = defaultdict(list)

@@ -129,3 +129,53 @@ def test_shingle_count(k):
     text = "x" * 100
     # all windows identical -> exactly one unique shingle
     assert shingle_hashes(text, k).size == 1
+
+
+def test_oph_estimates_jaccard():
+    """OPH + rotation densification keeps P(sig[j] match) ~ Jaccard —
+    same estimator contract as the permutation mode (Li/Owen/Zhang
+    NIPS'12; Shrivastava/Li ICML'14)."""
+    from deduplicate_spark.operators.minhash import oph_signature
+
+    rng = random.Random(7)
+    words = [f"word{i}" for i in range(400)]
+    base = [rng.choice(words) for _ in range(600)]
+    for stride, tol in ((4, 0.13), (10, 0.12), (2, 0.14)):
+        variant = list(base)
+        for i in range(0, len(variant), stride):
+            variant[i] = rng.choice(words)
+        sa = shingle_hashes(" ".join(base), 9)
+        sb = shingle_hashes(" ".join(variant), 9)
+        j = jaccard(sa, sb)
+        est = (oph_signature(sa, 256) == oph_signature(sb, 256)).mean()
+        assert abs(est - j) < tol, f"stride {stride}: est {est} vs J {j}"
+
+
+def test_oph_identical_deterministic_and_edges():
+    from deduplicate_spark.operators.minhash import oph_signature
+
+    sh = shingle_hashes("identical corpus text " * 20, 9)
+    assert np.array_equal(oph_signature(sh, 128), oph_signature(sh.copy(), 128))
+    # empty set -> all-ones sentinel, same as the perm mode
+    empty = oph_signature(np.empty(0, dtype=np.uint64), 128)
+    assert (empty == np.iinfo(np.uint64).max).all()
+    # tiny shingle set: every bin filled (by densification), deterministic
+    one = oph_signature(sh[:1], 128)
+    assert np.array_equal(one, oph_signature(sh[:1], 128))
+    assert (one != np.iinfo(np.uint64).max).all()
+    with pytest.raises(ValueError):
+        oph_signature(sh, 100)  # not a power of two
+
+
+def test_oph_densification_distance_mixed():
+    """Two docs whose shared shingles fill DIFFERENT bins must not collide
+    through densification at different borrow distances."""
+    from deduplicate_spark.operators.minhash import oph_signature
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 63, size=4, dtype=np.uint64)
+    b = rng.integers(0, 1 << 63, size=4, dtype=np.uint64)
+    sa, sb = oph_signature(np.unique(a), 128), oph_signature(np.unique(b), 128)
+    # disjoint sets: the match fraction must stay near zero even though
+    # both signatures are almost entirely densified fill values
+    assert (sa == sb).mean() < 0.05

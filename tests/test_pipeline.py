@@ -268,3 +268,25 @@ def test_long_id_collision_guard(spark):
     assert_no_id_collisions(docs)  # real hashes: no collision
     with _pytest.raises(ValueError, match="collision"):
         assert_no_id_collisions(docs, hash_col=F.lit(1))
+
+
+def test_oph_mode_matches_oracle_and_planted(spark, turns_df, corpus, manifest):
+    """OPH signature mode: the distributed pipeline must equal the
+    pure-Python reference-semantics oracle exactly (both running OPH — the
+    recall-gate contract), and planted exact dups are always found. Planted
+    NEAR recall is asserted as a floor, not 1.0: one planted prefix pair
+    sits at J=0.589, below the confirmation design point (hamming 12 ~
+    J 0.7, est-J rescue 0.7); the perm mode catches it only transitively
+    through a third variant, which an estimator with different per-pair
+    noise is not required to reproduce."""
+    from deduplicate_spark.oracle import assemble_docs_pandas, oracle_dup_pairs
+
+    cfg = DedupConfig(minhash_mode="oph")
+    res = run_pipeline(spark, turns_df, cfg)
+    found = {(r["a"], r["b"]) for r in dup_pairs_from_clusters(res.clusters).collect()}
+    turns_pd, _ = corpus
+    oracle = oracle_dup_pairs(assemble_docs_pandas(turns_pd, cfg), cfg)
+    assert pair_recall(found, oracle) == 1.0, "pipeline missed oracle pairs"
+    assert pair_recall(oracle, found) == 1.0, "pipeline found non-oracle pairs"
+    assert pair_recall(found, _expected_pairs(manifest, {"exact"})) == 1.0
+    assert pair_recall(found, _expected_pairs(manifest, {"near"})) >= 0.85
