@@ -92,7 +92,8 @@ def read_bucketed(spark, wh_dir: str):
     return spark.table("turns_bucketed")
 
 
-def run_once(cores: int, input_path: str, wh_dir: str | None = None) -> float:
+def run_once(cores: int, input_path: str, wh_dir: str | None = None,
+             minhash_mode: str = "perm") -> float:
     from deduplicate_spark.config import DedupConfig
     from deduplicate_spark.pipeline import run_pipeline
     from deduplicate_spark.session import get_spark
@@ -117,10 +118,11 @@ def run_once(cores: int, input_path: str, wh_dir: str | None = None) -> float:
     run_pipeline(
         spark,
         turns.limit(800),
-        DedupConfig(forced_smj=True, rescue_short_circuit=True),
+        DedupConfig(forced_smj=True, rescue_short_circuit=True,
+                    minhash_mode=minhash_mode),
     ).actions.count()
     t0 = time.time()
-    res = run_pipeline(spark, turns, DedupConfig())
+    res = run_pipeline(spark, turns, DedupConfig(minhash_mode=minhash_mode))
     res.actions.count()
     wall = time.time() - t0
     spark.stop()
@@ -137,6 +139,8 @@ def main() -> None:
     ap.add_argument("--skip-materialize", action="store_true",
                     help="reuse --input-cache from a prior materialization")
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--minhash-mode", default="perm", choices=("perm", "oph"),
+                    help="signature estimator for the timed pipeline runs")
     ap.add_argument("--bucketed", action="store_true",
                     help="materialize + read the corpus as a conv_id-bucketed "
                          "table (production Iceberg layout): assembly needs no "
@@ -173,7 +177,8 @@ def main() -> None:
     walls = {args.low: [], args.high: []}
     for _ in range(args.rounds):
         for cores in (args.low, args.high):
-            walls[cores].append(run_once(cores, args.input_cache, wh_dir=wh))
+            walls[cores].append(run_once(cores, args.input_cache, wh_dir=wh,
+                                         minhash_mode=args.minhash_mode))
 
     t_low = min(walls[args.low])
     t_high = min(walls[args.high])
@@ -193,6 +198,7 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3),
         "all_walls": {str(k): [round(x, 2) for x in v] for k, v in walls.items()},
         "bucketed_input": args.bucketed,
+        "minhash_mode": args.minhash_mode,
         "warmup_excluded": True,
     }
     print(json.dumps(result))
