@@ -304,17 +304,21 @@ def run_pipeline(
         "exact_sha",
         salt_buckets=config.band_salt_buckets,
     ).select(F.col("_ord").alias("conv_id"))
-    # checkpointed EAGERLY so the text table is evaluated ONCE no matter how
-    # many kernel consumers follow (signatures + optional substring pass):
-    # with a lazy cut, AQE materializes independent downstream stages
-    # concurrently and each racing consumer re-runs the text semi-join
-    # before the checkpoint blocks land (same race as docs_meta above —
-    # measured at sf0.1: the signature kernel executed TWICE, two
-    # concurrent 1-task ~2.6 s-cpu stages)
+    # Eagerness of the kernel-feeding checkpoints follows the measured
+    # small-corpus gate: on SMALL corpora a lazy cut lets racing AQE
+    # consumers re-run the text semi-join / kernel before the blocks land
+    # (measured at sf0.1: two concurrent 1-task kernel-sized stages), and
+    # the eager barrier costs one trivial job. On BIG corpora the race
+    # cannot pay for the barrier: the eager cut serializes construction
+    # into extra materialization passes of GB-sized tables (measured at
+    # 6.5M turns: walls regressed with unconditional eager), and the
+    # single downstream action materializes each checkpoint exactly once
+    # anyway.
+    kernel_eager = bool(config.kernel_small_corpus)
     reps_text = ckpt(
         "reps_text",
         ktext.join(maybe_merge_hint(rep_ids, config.forced_smj), "conv_id", "left_semi"),
-        eager=True,
+        eager=kernel_eager,
     )
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
@@ -345,10 +349,12 @@ def run_pipeline(
     if config.kernel_small_corpus:
         kernel_input = kernel_input.repartition(config.shuffle_partitions)
 
-    # eager: signatures feed three consumers (sig_simhash projection, LSH
-    # bands, rescue attach) — a lazy cut lets the first two race and run
-    # the MinHash kernel twice (measured, see reps_text above)
-    signatures = ckpt("signatures", compute_signatures(kernel_input, config), eager=True)
+    # signatures feed three consumers (sig_simhash projection, LSH bands,
+    # rescue attach) — small corpora cut eagerly so the first two cannot
+    # race and run the kernel twice (measured, see kernel_eager above)
+    signatures = ckpt(
+        "signatures", compute_signatures(kernel_input, config), eager=kernel_eager
+    )
     if store is not None:
         # no-silent-caps telemetry (VERDICT r4 #8): record the LSH bucket
         # histogram + star-fallback count in the run's metrics table on
