@@ -26,8 +26,14 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import time
+
+# plain `python jobs/dedup.py` runs put jobs/ (not the repo root) on
+# sys.path; spark-submit --py-files covers executors but not a local
+# driver launched outside the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
@@ -65,7 +71,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--bands", type=int, default=32)
     p.add_argument("--rows", type=int, default=4)
     p.add_argument("--hamming-max", type=int, default=12)
-    p.add_argument("--min-jaccard", type=float, default=None)
+    p.add_argument("--min-jaccard", type=float, default=0.7,
+                   help="min-Jaccard rescue threshold (DedupConfig default "
+                        "0.7); negative disables the rescue — the old CLI "
+                        "default of None silently disabled it, diverging "
+                        "from library-default runs")
+    p.add_argument("--minhash-mode", default="perm", choices=("perm", "oph"),
+                   help="signature estimator: classic 128-perm MinHash or "
+                        "one-permutation hashing (O(shingles) kernel)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
 
@@ -101,7 +114,8 @@ def main(argv: list[str] | None = None) -> None:
         lsh_bands=args.bands,
         lsh_rows=args.rows,
         simhash_hamming_max=args.hamming_max,
-        min_jaccard=args.min_jaccard,
+        min_jaccard=(None if args.min_jaccard < 0 else args.min_jaccard),
+        minhash_mode=args.minhash_mode,
         enable_substring_pass=args.substring,
         complete_hash=args.complete_hash,
     )
