@@ -4,11 +4,17 @@ Two paths:
   * brute-force cosine top-k — exact baseline; broadcast the query set,
     native zip_with/aggregate dot products, window top-k. O(N*Q) but fully
     JVM-side and embarrassingly parallel: correct choice when Q is small.
-  * LSH-bucketed ANN (random hyperplane / SRP) — the scale path: docs and
+  * LSH-bucketed ANN (random hyperplane / SRP) — a scale path: docs and
     queries hash to sign-pattern buckets; candidates = bucket collisions
     across any of ``n_tables`` hash tables; exact cosine re-rank on
     candidates only. Sub-linear candidate volume at 100 TB scale, tunable
     recall via (n_tables, n_bits).
+  * IVF-partitioned ANN — the other scale path: a tiny coarse-centroid
+    table partitions the corpus into inverted-file cells (zero-shuffle
+    literal projection, or a matmul kernel for large cell counts); each
+    query probes its ``nprobe`` nearest cells and re-ranks exactly only
+    inside them. Deterministic smallest-id quantizer for oracle-able
+    tests; k-means|| (Spark ML, sampled) for production.
 
 The hyperplane projection is a vectorized pandas UDF (numpy matmul over
 Arrow batches); everything relational stays native.
@@ -146,6 +152,133 @@ def ann_topk(
     scored = (
         cand.join(v, "neighbor_id")
         .join(F.broadcast(q), "q_id")
+        .select("q_id", "neighbor_id", cosine_sim(F.col("_q"), F.col("_v")).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid cells for one vector
+    column, cosine-ranked (ties -> smaller cell id) — a PURE projection:
+    the centroid table rides into the plan as a literal array (tiny by
+    definition — a coarse quantizer is broadcastable or it is not a coarse
+    quantizer), so cell assignment costs ZERO shuffle on the corpus side."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine_sim(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias("ncs"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, cv in enumerate(centroids)
+        ]
+    )
+    ranked = F.array_sort(scored)  # struct order: ncs asc = cosine desc, then cell asc
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_cells`` smallest-id vectors,
+    in id order (cell i = i-th smallest id). Deterministic and
+    SQL-expressible — the oracle-able quantizer for the driver harness; for
+    production quality swap in :func:`ivf_centroids_kmeans` (same contract:
+    a small ordered list of centroid vectors)."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_i"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_i")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["_v"]) for r in rows]
+
+
+def ivf_centroids_kmeans(
+    vectors: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """Production quantizer: k-means|| (Spark ML) over a bounded sample —
+    at 100 TB the quantizer trains on a sample, never the corpus. Returns
+    the same ordered-centroid-list contract as :func:`ivf_centroids`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(sample_rows)
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(sample)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_assign_kernel(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cells array<int>) via one numpy matmul per Arrow batch — the
+    kernel form of :func:`_probe_cells` for LARGE cell counts, where
+    n_cells literal fold-expressions would bloat codegen (the native
+    projection is linear in n_cells per row; the matmul is one BLAS call).
+    Same argmax-of-cosine semantics, ties -> smaller cell."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cs = mat @ cmat.T  # (batch, n_cells)
+            # stable argsort on -cs: cosine desc, ties -> smaller cell
+            top = np.argsort(-cs, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            yield pd.DataFrame({"vid": pdf[id_col].to_numpy(), "cells": list(top)})
+
+    return df.select(F.col(id_col), vec_col).mapInPandas(kernel, "vid long, cells array<int>")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-partitioned approximate top-k — the inverted-file scale path
+    beside the SRP-LSH one (``ann_topk``): every corpus vector is assigned
+    to its nearest coarse cell by a zero-shuffle literal-centroid
+    projection, each query probes its ``nprobe`` nearest cells, and the
+    exact cosine re-rank touches only vectors in probed cells (~nprobe /
+    n_cells of the corpus per query instead of all of it). The probe
+    attach is a broadcast join on ``cell`` — the corpus side never
+    shuffles; only the candidate set (already cut by the cell filter)
+    moves for the per-query top-k."""
+    cents = centroids if centroids is not None else ivf_centroids(vectors, n_cells, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("cell", _probe_cells(F.col("_v"), cents, 1)[0])
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("_q"),
+        )
+        .withColumn("cell", F.explode(_probe_cells(F.col("_q"), cents, nprobe)))
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
         .select("q_id", "neighbor_id", cosine_sim(F.col("_q"), F.col("_v")).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

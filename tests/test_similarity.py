@@ -9,6 +9,10 @@ from deduplicate_spark.functions.similarity import (
     brute_force_topk,
     cosine_sim,
     embedding_dup_pairs,
+    ivf_assign_kernel,
+    ivf_centroids,
+    ivf_centroids_kmeans,
+    ivf_topk,
 )
 
 DIM = 16
@@ -55,6 +59,59 @@ def test_ann_topk_recalls_planted(vectors):
         by_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
     hits = sum(1 for q in range(5) if 50 + q in by_q.get(q, []))
     assert hits >= 4  # >= 80% recall of planted twins
+
+
+def test_ivf_topk_recalls_planted(vectors):
+    # planted twin i <-> 50+i: near-identical vectors land in the same IVF
+    # cell for ANY quantizer, so the twin must appear in the probed top-k
+    queries = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = ivf_topk(vectors, queries, n_cells=6, nprobe=2, k=3).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    assert all(50 + q in by_q.get(q, []) for q in range(5))
+    # probe bound respected: no query ranks more than k candidates
+    assert all(len(v) <= 3 for v in by_q.values())
+
+
+def test_ivf_kernel_assignment_matches_native(vectors):
+    # the matmul kernel and the literal-centroid projection implement the
+    # same argmax; their cell assignments must agree on real data
+    cents = ivf_centroids(vectors, 6)
+    kern = {
+        r["vid"]: list(r["cells"])
+        for r in ivf_assign_kernel(vectors, cents, nprobe=2).collect()
+    }
+    from deduplicate_spark.functions.similarity import _probe_cells
+
+    native = {
+        r["vec_id"]: list(r["cells"])
+        for r in vectors.select(
+            "vec_id",
+            _probe_cells(F.col("embedding"), cents, 2).alias("cells"),
+        ).collect()
+    }
+    assert kern == native
+
+
+def test_ivf_kmeans_quantizer_contract(vectors):
+    # production quantizer: right shape, and the pipeline built on it still
+    # recalls the planted twins (quality check, not an oracle)
+    cents = ivf_centroids_kmeans(vectors, n_cells=4, seed=7)
+    assert len(cents) == 4 and all(len(c) == DIM for c in cents)
+    queries = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = ivf_topk(
+        vectors, queries, nprobe=2, k=3, centroids=cents
+    ).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    hits = sum(1 for q in range(5) if 50 + q in by_q.get(q, []))
+    assert hits == 5
 
 
 def test_embedding_dup_pairs(vectors):
