@@ -113,13 +113,13 @@ def run_once(cores: int, input_path: str, wh_dir: str | None = None,
     # pipeline throughput; on a real cluster they amortize over the job.
     # Both parallelism levels get the identical warmup. Pin the knobs the
     # timed run will RESOLVE at this corpus size (forced SMJ + rescue
-    # short-circuit are measured-big here) so warmup compiles the same
-    # plan shapes the timed run executes.
+    # short-circuit resolve big, the kernel-parallelism floor resolves
+    # OFF) so warmup compiles the same plan shapes the timed run executes.
     run_pipeline(
         spark,
         turns.limit(800),
         DedupConfig(forced_smj=True, rescue_short_circuit=True,
-                    minhash_mode=minhash_mode),
+                    kernel_small_corpus=False, minhash_mode=minhash_mode),
     ).actions.count()
     t0 = time.time()
     res = run_pipeline(spark, turns, DedupConfig(minhash_mode=minhash_mode))

@@ -102,12 +102,13 @@ def run_once(n_execs: int, cores_per_exec: int, mem_mb: int, input_path: str) ->
     turns.count()  # warm file listing / page cache uniformly
     # untimed session warmup (same protocol as bench.py / scaling.py):
     # Python-worker fork + whole-stage codegen are per-session costs;
-    # pin the knobs the timed run resolves at scale so the warmed plan
-    # shapes match
+    # pin the knobs the timed run resolves at scale (SMJ/rescue big,
+    # kernel floor off) so the warmed plan shapes match
     run_pipeline(
         spark,
         turns.limit(800),
-        DedupConfig(forced_smj=True, rescue_short_circuit=True),
+        DedupConfig(forced_smj=True, rescue_short_circuit=True,
+                    kernel_small_corpus=False),
     ).actions.count()
     t0 = time.time()
     res = run_pipeline(spark, turns, DedupConfig())

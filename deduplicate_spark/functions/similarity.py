@@ -204,15 +204,24 @@ def ivf_centroids_kmeans(
     seed: int = 42,
     sample_rows: int = 100_000,
 ) -> list[list[float]]:
-    """Production quantizer: k-means|| (Spark ML) over a bounded sample —
-    at 100 TB the quantizer trains on a sample, never the corpus. Returns
-    the same ordered-centroid-list contract as :func:`ivf_centroids`."""
+    """Production quantizer: k-means|| (Spark ML) over a bounded RANDOM
+    sample — at 100 TB the quantizer trains on a sample, never the corpus.
+    The sample must be uniform, not ``limit()``: limit takes the first N
+    rows in file order, and a corpus written shard-by-shard (by source, by
+    time) would train centroids on one region of embedding space, piling
+    everything else into a few far cells and collapsing nprobe recall.
+    A seeded Bernoulli sample costs one extra count() over the (narrow)
+    vector column. Returns the same ordered-centroid-list contract as
+    :func:`ivf_centroids`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    sample = vectors.select(
+    n = vectors.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    src = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
+    sample = src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).limit(sample_rows)
+    )
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(sample)
     return [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -77,6 +77,12 @@ def assemble_docs(turns: DataFrame, config: DedupConfig | None = None) -> DataFr
         "doc_text",
         "n_turns",
         F.length("doc_text").cast("long").alias("total_len"),
+        # UTF-8 bytes, not chars: total_len (the H1 size key, reference
+        # semantics) counts CHARS, which undercounts bytes up to 4x on
+        # non-ASCII text — the measured broadcast-risk gates compare
+        # against BYTE thresholds, so they get their own column, computed
+        # in this same projection (no extra scan).
+        F.octet_length("doc_text").cast("long").alias("total_bytes"),
         F.when(F.length(F.trim(F.col("doc_text"))) == 0, F.lit(EMPTY_SHA1))
         .otherwise(F.sha1(F.encode(F.substring("doc_text", 1, PREFIX_CHARS), "UTF-8")))
         .alias("prefix_sha"),

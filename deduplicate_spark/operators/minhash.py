@@ -160,7 +160,13 @@ def oph_signature(shingles: np.ndarray, num_perm: int) -> np.ndarray:
             src = (idx + k) % num_perm
             can = need & filled[src]
             if can.any():
-                sig[can] = orig[src[can]] + np.uint64(k) * _DENSIFY_MIX
+                # borrow-distance mix, uint64 wraparound INTENDED — compute
+                # k*MIX in Python ints and mask, so numpy never sees the
+                # scalar overflow (it RuntimeWarns per kernel worker, and
+                # crashes outright under np.seterr(over='raise'))
+                mix_k = np.uint64((k * int(_DENSIFY_MIX)) & 0xFFFFFFFFFFFFFFFF)
+                with np.errstate(over="ignore"):
+                    sig[can] = orig[src[can]] + mix_k
                 need &= ~can
             k += 1
     return sig

@@ -59,6 +59,36 @@ def measured_forced_smj(n_docs: int, total_bytes: int, config) -> bool:
 _KERNEL_SMALL_BYTES_PER_SLOT = 4 << 20
 
 
+def measured_text_stats(
+    df: DataFrame, config, text_col: str = "text", chars_col: str | None = None
+) -> tuple[int, int]:
+    """(n_rows, total_utf8_bytes) for the measured gates, over a RAW text
+    table (no assembly pass to piggyback a byte column on — contrast
+    ``assemble_docs``' total_bytes).
+
+    Two-phase so the common cases never scan the text column: chars are a
+    LOWER bound on UTF-8 bytes and 4*chars an UPPER bound, so when both
+    bounds land on the same side of every gate threshold a cheap
+    chars-column scan decides (a 100 TB corpus is "big" in any unit).
+    Only when some threshold falls inside [chars, 4*chars] — which proves
+    the corpus is under 4*max_threshold bytes, so the scan is cheap by
+    construction — is ``octet_length`` aggregated exactly."""
+    c = F.sum(chars_col) if chars_col else F.sum(F.length(text_col))
+    st = df.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(c, F.lit(0)).alias("c")
+    ).first()
+    lo, hi = int(st.c), int(st.c) * 4
+    thresholds = (
+        config.forced_smj_min_bytes,
+        config.shuffle_partitions * _KERNEL_SMALL_BYTES_PER_SLOT,
+    )
+    if any(lo <= t <= hi for t in thresholds):
+        b = df.agg(F.coalesce(F.sum(F.octet_length(text_col)), F.lit(0))).first()[0]
+        return int(st.n), int(b)
+    # both bounds agree for every gate -> lo yields the same decisions
+    return int(st.n), lo
+
+
 def measured_small_corpus(total_bytes: int, config) -> bool:
     """The MEASURED gate behind ``DedupConfig.kernel_small_corpus=None`` —
     same real-count philosophy as :func:`measured_forced_smj`. True when

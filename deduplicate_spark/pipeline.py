@@ -153,9 +153,16 @@ def corpus_stats(
     with map-side partials; skipping verification drops the countDistinct
     columns so the gate-only path is a plain count/sum."""
     hash_col = F.xxhash64("conv_id") if hash_col is None else hash_col
-    size_col = (
-        F.sum("total_len") if "total_len" in docs.columns else F.lit(0)
-    )
+    # prefer the true UTF-8 byte column (assembly computes it alongside
+    # total_len); total_len counts CHARS — a lower bound on bytes, up to
+    # 4x under on non-ASCII corpora — kept only as the fallback for meta
+    # tables checkpointed before total_bytes existed
+    if "total_bytes" in docs.columns:
+        size_col = F.sum("total_bytes")
+    elif "total_len" in docs.columns:
+        size_col = F.sum("total_len")
+    else:
+        size_col = F.lit(0)
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(size_col, F.lit(0)).alias("total_bytes"),

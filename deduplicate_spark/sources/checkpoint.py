@@ -104,6 +104,19 @@ class CheckpointStore:
         if os.path.exists(path):
             os.remove(path)
 
+    def read_metrics(self) -> DataFrame:
+        """The appended metrics table across every run of this store root.
+        ``mergeSchema`` is load-bearing: the metrics row schema has gained
+        columns over time (``extra`` most recently), and a plain read
+        infers the schema from ONE parquet footer — if a pre-widening file
+        wins, the new columns silently vanish from every query over the
+        table. Merging unions the footers so old rows surface the new
+        columns as null."""
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(self.root, "_metrics.parquet"))
+        )
+
     def write_metrics(self) -> None:
         """Persist accumulated per-stage metrics (the reference's timer
         summaries, dupe_utils.py:69-108, as a table)."""

@@ -105,8 +105,20 @@ class IncrementalState:
             self.released_path = self.docs_path.rstrip("/") + "_released"
 
 
+_LEGACY_LAYOUT_MSG = (
+    "state table at {path} predates the crash-safe epoch layout (no 'wseq' "
+    "partition column): appends into it cannot be made replay-idempotent. "
+    "Migrate once by rewriting each state table partitioned by (wseq, kmod) "
+    "with wseq=0, or rebuild the state from the source corpus."
+)
+
+
 def pruned_state_read(
-    spark: SparkSession, path: str, mods: list[int], mod_col: str = "kmod"
+    spark: SparkSession,
+    path: str,
+    mods: list[int],
+    mod_col: str = "kmod",
+    exclude_wseq: int | None = None,
 ) -> DataFrame:
     """Read a hash-mod-partitioned state table, pruned to the partitions in
     ``mods``. The isin predicate on the partition column is resolved at
@@ -114,11 +126,25 @@ def pruned_state_read(
     never listed, opened, or read; per-batch bytes scale with the batch's
     key spread, not with accumulated history.
 
+    ``exclude_wseq`` (batch-processing reads only) drops the rows the
+    CURRENT epoch itself wrote: after a mid-batch crash, foreachBatch
+    replays the epoch, and the crashed attempt's partial writes must be
+    invisible to the replay so it recomputes from exactly the pre-crash
+    inputs (its rewrites then supersede the partials — see
+    :func:`_write_state`). Passing it against a pre-wseq layout raises:
+    such a table cannot be written replay-safely at all.
+
     Legacy-layout fallback (ADVICE r4): a state directory written before
     the table was kmod-partitioned has no partition column — fall back to
     an unpruned read instead of failing on the missing column; the next
     overwrite of that table migrates it to the partitioned layout."""
     df = spark.read.parquet(path)
+    if exclude_wseq is not None:
+        if "wseq" not in df.columns:
+            raise ValueError(_LEGACY_LAYOUT_MSG.format(path=path))
+        df = df.filter(F.col("wseq") != int(exclude_wseq))
+    if "wseq" in df.columns:
+        df = df.drop("wseq")
     if mod_col not in df.columns:
         return df
     return df.filter(F.col(mod_col).isin(mods)).drop(mod_col)
@@ -126,6 +152,47 @@ def pruned_state_read(
 
 def _with_mod(df: DataFrame, key: str, n: int, mod_col: str = "kmod") -> DataFrame:
     return df.withColumn(mod_col, F.pmod(F.xxhash64(key), F.lit(n)).cast("int"))
+
+
+def _write_state(
+    df: DataFrame,
+    path: str,
+    epoch: int,
+    key: str | None = None,
+    n: int = 0,
+    reset: bool = False,
+) -> None:
+    """Idempotent state write: rows land in the ``wseq=<epoch>`` partition
+    via DYNAMIC partition overwrite, so when foreachBatch redelivers an
+    epoch after a mid-batch crash the replay REWRITES exactly its own
+    partitions instead of double-appending (at-least-once delivery +
+    idempotent writes = effectively-once state). ``reset=True`` (genuinely
+    fresh run) statically overwrites the whole table instead."""
+    out = df.withColumn("wseq", F.lit(int(epoch)).cast("long"))
+    parts = ["wseq"]
+    if key is not None:
+        out = _with_mod(out, key, n)
+        parts.append("kmod")
+    w = out.write.mode("overwrite")
+    if not reset:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy(*parts).parquet(path)
+
+
+def _next_epoch(spark: SparkSession, path: str) -> int:
+    """Epoch for a DIRECT (non-streaming) call: one more than the largest
+    epoch already persisted. The agg touches only the wseq partition column
+    (file-listing metadata, no row data). Streaming callers pass the
+    foreachBatch epoch_id instead — it is stable across a crash-replay,
+    which a max+1 probe is not (the crashed attempt's own partials would
+    bump it)."""
+    if not _table_exists(spark, path):
+        return 0
+    df = spark.read.parquet(path)
+    if "wseq" not in df.columns:
+        raise ValueError(_LEGACY_LAYOUT_MSG.format(path=path))
+    m = df.agg(F.max("wseq")).first()[0]
+    return int(m) + 1 if m is not None else 0
 
 
 def _collect_mods(df: DataFrame, key: str, n: int) -> list[int]:
@@ -145,16 +212,29 @@ def process_batch(
     config: DedupConfig | None = None,
     first_batch: bool = False,
     allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
+    epoch: int | None = None,
 ) -> dict[str, int]:
     """Process one micro-batch of turns against accumulated state.
 
-    Returns batch metrics. Usable directly or inside
-    ``writeStream.foreachBatch(lambda df, _: process_batch(spark, df, st))``.
+    Returns batch metrics. Usable directly or inside foreachBatch (see
+    :func:`stream_turns`, which passes the epoch_id through). ``epoch``
+    keys this batch's state writes for crash-replay idempotency
+    (:func:`_write_state`); streaming callers MUST pass the foreachBatch
+    epoch_id — ``None`` (direct calls) derives max-persisted + 1, which is
+    correct only when no replay is possible.
     """
     from deduplicate_spark.pipeline import exact_representatives, exact_star_edges
 
     config = config or DedupConfig()
-    new_docs = assemble_docs(turns_batch, config).transform(lambda _df: cut_lineage(_df, eager=False))
+    if epoch is None:
+        epoch = 0 if first_batch else _next_epoch(spark, state.docs_path)
+    # drop the gate-only byte column: the docs STATE dir schema must stay
+    # stable across versions (appends + unionByName with prior-run state)
+    new_docs = (
+        assemble_docs(turns_batch, config)
+        .drop("total_bytes")
+        .transform(lambda _df: cut_lineage(_df, eager=False))
+    )
 
     empty_schema = "a string, b string, evidence string"
     no_edges = spark.createDataFrame([], empty_schema)
@@ -184,7 +264,7 @@ def process_batch(
         smods = _collect_mods(
             new_docs.select("exact_sha").distinct(), "exact_sha", state.state_partitions
         )
-        old_reps = pruned_state_read(spark, state.reps_path, smods)
+        old_reps = pruned_state_read(spark, state.reps_path, smods, exclude_wseq=epoch)
         matched = exact_new.join(old_reps, "exact_sha").transform(lambda _df: cut_lineage(_df, eager=False))
         n_instant = matched.count()
         instant_edges = matched.select(
@@ -227,7 +307,9 @@ def process_batch(
         # History is never re-banded (the state IS the banding).
         new_keys = new_buckets.select("band_hash").distinct()
         bmods = _collect_mods(new_keys, "band_hash", state.state_partitions)
-        touched_old = pruned_state_read(spark, state.buckets_path, bmods).join(
+        touched_old = pruned_state_read(
+            spark, state.buckets_path, bmods, exclude_wseq=epoch
+        ).join(
             F.broadcast(new_keys), "band_hash"
         )
 
@@ -283,12 +365,14 @@ def process_batch(
         # for a per-batch endpoint set is exactly the O(history) I/O this
         # layout removes)
         emods = _collect_mods(endpoints, "conv_id", state.state_partitions)
-        old_needed = pruned_state_read(spark, state.signatures_path, emods).join(
+        old_needed = pruned_state_read(
+            spark, state.signatures_path, emods, exclude_wseq=epoch
+        ).join(
             F.broadcast(endpoints), "conv_id", "left_semi"
         )
         sig_source = new_sigs.unionByName(old_needed)
         docs_source = new_docs.unionByName(
-            pruned_state_read(spark, state.docs_path, emods).join(
+            pruned_state_read(spark, state.docs_path, emods, exclude_wseq=epoch).join(
                 F.broadcast(endpoints), "conv_id", "left_semi"
             )
         )
@@ -307,29 +391,33 @@ def process_batch(
     # that eager cuts used to cost
     all_edges = all_edges.transform(lambda _df: cut_lineage(_df, eager=True))
 
-    # ---- append state ----------------------------------------------------
-    # fat tables are written partitioned by key-mod (see IncrementalState);
-    # the pairs log is consumed whole by current_clusters, no partitioning
-    mode = "overwrite" if first_batch else "append"
+    # ---- write state -----------------------------------------------------
+    # fat tables are partitioned by (wseq, key-mod): the key-mod level keeps
+    # per-batch probes pruned (see IncrementalState), the wseq level makes
+    # every write a dynamic-partition overwrite of THIS epoch's rows — a
+    # replayed micro-batch rewrites its own partitions instead of
+    # double-appending (see _write_state). first_batch statically
+    # overwrites, preserving the fresh-run reset semantics.
     n_parts = state.state_partitions
-    _with_mod(new_docs, "conv_id", n_parts).write.mode(mode).partitionBy("kmod").parquet(
-        state.docs_path
+    _write_state(new_docs, state.docs_path, epoch, "conv_id", n_parts, reset=first_batch)
+    _write_state(
+        new_sigs, state.signatures_path, epoch, "conv_id", n_parts, reset=first_batch
     )
-    _with_mod(new_sigs, "conv_id", n_parts).write.mode(mode).partitionBy("kmod").parquet(
-        state.signatures_path
+    _write_state(
+        new_buckets, state.buckets_path, epoch, "band_hash", n_parts, reset=first_batch
     )
-    _with_mod(new_buckets, "band_hash", n_parts).write.mode(mode).partitionBy(
-        "kmod"
-    ).parquet(state.buckets_path)
-    all_edges.write.mode(mode).parquet(state.pairs_path)
+    _write_state(all_edges, state.pairs_path, epoch, reset=first_batch)
     # one (exact_sha, old_rep) row per sha first seen in this batch — the
     # compact side table the next batch's exact fast path reads; sha-mod
     # partitioned like the fat tables so that read stays pruned as history grows
-    _with_mod(
+    _write_state(
         genuinely_new.groupBy("exact_sha").agg(F.min("conv_id").alias("old_rep")),
+        state.reps_path,
+        epoch,
         "exact_sha",
         n_parts,
-    ).write.mode(mode).partitionBy("kmod").parquet(state.reps_path)
+        reset=first_batch,
+    )
 
     n_confirmed = confirmed.count()
     return {
@@ -355,16 +443,22 @@ def _release(
     state: IncrementalState,
     config: DedupConfig,
     allpairs_max: int,
+    epoch: int | None = None,
 ) -> dict[str, int]:
     """Feed fully-buffered conversations through the dedup cascade exactly
     once: read their complete turn history (conv-mod pruned + broadcast
-    semi-filter), run the normal batch cascade, mark them released."""
+    semi-filter), run the normal batch cascade, mark them released. The
+    released-conv set is recomputed deterministically from pre-epoch state,
+    so its wseq-keyed rewrite is replay-idempotent like every other state
+    write."""
     n = state.state_partitions
     convs = convs.transform(lambda _df: cut_lineage(_df, eager=True))
     k = convs.count()
     metrics = {"released_convs": k}
     if not k:
         return metrics
+    if epoch is None:
+        epoch = _next_epoch(spark, state.docs_path)
     rmods = _collect_mods(convs, "conv_id", n)
     rel_turns = pruned_state_read(spark, state.turns_path, rmods).join(
         F.broadcast(convs), "conv_id", "left_semi"
@@ -377,11 +471,16 @@ def _release(
         config,
         first_batch=first_release,
         allpairs_max=allpairs_max,
+        epoch=epoch,
     )
     metrics.update(sub)
-    rel_mode = "overwrite" if not _table_exists(spark, state.released_path) else "append"
-    _with_mod(convs, "conv_id", n).write.mode(rel_mode).partitionBy("kmod").parquet(
-        state.released_path
+    _write_state(
+        convs,
+        state.released_path,
+        epoch,
+        "conv_id",
+        n,
+        reset=not _table_exists(spark, state.released_path),
     )
     return metrics
 
@@ -407,7 +506,10 @@ def process_batch_buffered(
     already-released conversation are DROPPED and counted in
     ``late_turn_convs`` — the same contract as Spark's watermark late-data
     drop; size ``buffer_lag`` like a watermark. ``batch_seq`` must increase
-    by 1 per batch starting at 0 (0 resets the buffer state); call
+    by 1 per batch starting at 0; streaming callers pass the foreachBatch
+    epoch_id (:func:`stream_turns`), which makes every state write here
+    replay-idempotent — a redelivered epoch dynamic-overwrites its own
+    turn/pending/released partitions instead of double-appending. Call
     :func:`flush_buffered` at stream end to release everything pending."""
     config = config or DedupConfig()
     n = state.state_partitions
@@ -433,19 +535,16 @@ def process_batch_buffered(
 
     # reset the buffer tables only on a genuinely FRESH run (seq 0 with no
     # buffered state on disk) — a restarted stream that re-enters at seq 0
-    # must APPEND, not silently destroy buffered-but-unreleased turns
-    # (ADVICE r4 medium; seq==0-means-overwrite was the restart footgun)
-    wmode = (
-        "overwrite"
-        if batch_seq == 0 and not _table_exists(spark, state.turns_path)
-        else "append"
-    )
-    _with_mod(turns_batch, "conv_id", n).write.mode(wmode).partitionBy("kmod").parquet(
-        state.turns_path
-    )
-    batch_convs.withColumn("seen_seq", F.lit(batch_seq)).write.mode(wmode).partitionBy(
-        "seen_seq"
-    ).parquet(state.pending_path)
+    # must not destroy buffered-but-unreleased turns (ADVICE r4 medium);
+    # otherwise both writes are per-epoch dynamic overwrites, so a
+    # crash-replayed batch_seq rewrites its own partitions (the pending
+    # log's seen_seq partition column doubles as its epoch key)
+    fresh = batch_seq == 0 and not _table_exists(spark, state.turns_path)
+    _write_state(turns_batch, state.turns_path, batch_seq, "conv_id", n, reset=fresh)
+    pend_w = batch_convs.withColumn("seen_seq", F.lit(batch_seq)).write.mode("overwrite")
+    if not fresh:
+        pend_w = pend_w.option("partitionOverwriteMode", "dynamic")
+    pend_w.partitionBy("seen_seq").parquet(state.pending_path)
 
     release_seq = batch_seq - buffer_lag
     if release_seq >= 0:
@@ -457,7 +556,14 @@ def process_batch_buffered(
         cand = pending.filter(F.col("seen_seq") == release_seq).select("conv_id")
         recent = pending.filter(F.col("seen_seq") > release_seq).select("conv_id")
         metrics.update(
-            _release(spark, cand.join(recent, "conv_id", "left_anti"), state, config, allpairs_max)
+            _release(
+                spark,
+                cand.join(recent, "conv_id", "left_anti"),
+                state,
+                config,
+                allpairs_max,
+                epoch=batch_seq,
+            )
         )
     return metrics
 
@@ -488,6 +594,8 @@ def current_clusters(spark: SparkSession, state: IncrementalState, config: Dedup
 
     config = config or DedupConfig()
     edges = spark.read.parquet(state.pairs_path)
+    if "wseq" in edges.columns:
+        edges = edges.drop("wseq")
     return connected_components(
         edges, max_rounds=config.cc_max_rounds, forced_smj=config.forced_smj
     )
@@ -507,15 +615,21 @@ def stream_turns(
     (see :func:`process_batch_buffered`); remember to call
     :func:`flush_buffered` after stopping the stream.
 
-    RESTART-SAFE (VERDICT/ADVICE r4 — the r4 wrapper kept first/seq in
-    driver memory, so a checkpoint restart re-entered with
-    ``first_batch=True`` and overwrote accumulated state): ``first_batch``
-    is derived from whether the docs state table EXISTS on disk, and the
-    buffered mode's ``batch_seq`` cursor is recovered from the persisted
-    pending log (``max(seen_seq) + 1``) — the state itself is the cursor,
-    so a restarted stream appends after prior batches instead of resetting
-    to zero. Both probes run once at the first post-(re)start batch, then
-    the in-memory counter takes over for the life of the query."""
+    RESTART- AND CRASH-SAFE: the batch cursor IS the foreachBatch
+    ``epoch_id`` (ADVICE r4 — a driver-memory counter reset to 0 on
+    restart, overwriting buffered state; a ``max(seen_seq)+1`` recovery
+    probe is not crash-stable either, since a crashed attempt's own
+    partial writes would bump it). epoch_id is monotone per checkpoint,
+    continues across restarts, and REPEATS on a mid-batch crash replay —
+    exactly the key the wseq-partitioned dynamic-overwrite state writes
+    need to be idempotent (see :func:`_write_state`). Consequence: a
+    stream resumed against existing state MUST reuse its
+    ``checkpoint_location`` (deleting it restarts epoch ids at 0 against
+    non-empty state — the one layout this scheme cannot repair).
+    ``first_batch`` is probed from the docs state table once at the first
+    post-(re)start batch, then memoized for the life of the query (the
+    per-batch probe was a driver LIST+schema-inference round trip that
+    grew with history)."""
     from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
 
     config = config or DedupConfig()
@@ -525,31 +639,26 @@ def stream_turns(
         .parquet(source_path)
     )
 
-    seen: dict[str, int | None] = {"seq": None}
+    seen: dict[str, bool | None] = {"first": None}
 
-    def handle(batch_df: DataFrame, _epoch: int) -> None:
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if buffer_lag is not None:
-            if seen["seq"] is None:
-                seen["seq"] = (
-                    spark.read.parquet(state.pending_path)
-                    .agg(F.max("seen_seq") + 1)
-                    .first()[0]
-                    if _table_exists(spark, state.pending_path)
-                    else 0
-                ) or 0
             process_batch_buffered(
                 spark, batch_df, state, config,
-                batch_seq=seen["seq"], buffer_lag=buffer_lag,
+                batch_seq=int(epoch_id), buffer_lag=buffer_lag,
             )
-            seen["seq"] += 1
             return
+        if seen["first"] is None:
+            seen["first"] = not _table_exists(spark, state.docs_path)
         process_batch(
             spark,
             batch_df,
             state,
             config,
-            first_batch=not _table_exists(spark, state.docs_path),
+            first_batch=seen["first"],
+            epoch=int(epoch_id),
         )
+        seen["first"] = False
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint_location:

@@ -115,7 +115,7 @@ def test_store_run_records_bucket_stats(spark, turns_df, tmp_path):
     assert len(rows) == 1
     assert {"max_bucket", "n_star_fallback", "est_edges"} <= set(rows[0]["extra"])
     store.write_metrics()
-    mt = spark.read.parquet(os.path.join(store.root, "_metrics.parquet"))
+    mt = store.read_metrics()
     row = mt.filter("stage = 'lsh_bucket_stats'").first()
     assert row is not None
     assert json.loads(row.extra)["n_star_fallback"] is not None

@@ -179,3 +179,26 @@ def test_oph_densification_distance_mixed():
     # disjoint sets: the match fraction must stay near zero even though
     # both signatures are almost entirely densified fill values
     assert (sa == sb).mean() < 0.05
+
+
+def test_oph_densification_emits_no_numpy_warnings():
+    """The borrow-distance mix wraps uint64 INTENTIONALLY; it must do so
+    without tripping numpy's scalar-overflow RuntimeWarning (log noise per
+    kernel worker; a crash under np.seterr(over='raise'))."""
+    import warnings
+
+    import numpy as np
+
+    from deduplicate_spark.operators.minhash import oph_signature
+
+    # few shingles vs many bins -> empty bins -> densification loop runs
+    sh = np.array([12345, 999999999], dtype=np.uint64)
+    old = np.seterr(over="raise")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            sig = oph_signature(sh, 128)
+    finally:
+        np.seterr(**old)
+    assert sig.dtype == np.uint64 and len(sig) == 128
+    assert (sig != np.uint64(0xFFFFFFFFFFFFFFFF)).all()

@@ -188,8 +188,18 @@ def test_state_partition_pruning_and_compact_reps(spark, state, tmp_path):
     process_batch(spark, batch("b0", t1), state, cfg, first_batch=True)
     process_batch(spark, batch("b1", t2), state, cfg, first_batch=False)
 
-    # fat state is hash-mod partitioned on disk
-    bucket_dirs = {d for d in os.listdir(state.buckets_path) if d.startswith("kmod=")}
+    # fat state is (wseq, hash-mod) partitioned on disk: epoch level for
+    # crash-replay-idempotent writes, kmod level for per-batch pruning
+    def kmod_dirs(root):
+        out = set()
+        for ep in os.listdir(root):
+            if ep.startswith("wseq="):
+                out |= {d for d in os.listdir(os.path.join(root, ep)) if d.startswith("kmod=")}
+        return out
+
+    epoch_dirs = {d for d in os.listdir(state.buckets_path) if d.startswith("wseq=")}
+    assert epoch_dirs == {"wseq=0", "wseq=1"}
+    bucket_dirs = kmod_dirs(state.buckets_path)
     assert len(bucket_dirs) > 1
 
     # a pruned probe's scan carries a PartitionFilter and returns only rows
@@ -209,14 +219,14 @@ def test_state_partition_pruning_and_compact_reps(spark, state, tmp_path):
     # reps side table: exactly one row per distinct sha ever seen — compact,
     # no O(history) docs aggregation per batch — and sha-mod partitioned so
     # the exact fast path's read is pruned like the fat tables (VERDICT r3 #3)
-    reps_dirs = {d for d in os.listdir(state.reps_path) if d.startswith("kmod=")}
+    reps_dirs = kmod_dirs(state.reps_path)
     assert len(reps_dirs) > 1
     reps = spark.read.parquet(state.reps_path)
     n_shas = (
         spark.read.parquet(state.docs_path).select("exact_sha").distinct().count()
     )
     assert reps.count() == n_shas
-    assert set(reps.columns) == {"exact_sha", "old_rep", "kmod"}
+    assert set(reps.columns) == {"exact_sha", "old_rep", "wseq", "kmod"}
     some_rmods = sorted(int(d.split("=")[1]) for d in reps_dirs)[
         : max(1, len(reps_dirs) // 2)
     ]
@@ -408,3 +418,115 @@ def test_stream_restart_buffered_preserves_buffer(spark, state, tmp_path):
         spark, spark.createDataFrame(turns_pd, TRANSCRIPTS_SCHEMA), cfg
     )
     assert stream_clusters == _cluster_partition(clean.clusters)
+
+
+def test_immediate_replay_is_idempotent(spark, state, tmp_path):
+    """Crash-replay contract (ADVICE/VERDICT r5): foreachBatch is
+    at-least-once — after a mid-batch crash the SAME epoch is redelivered.
+    State writes are wseq-partitioned dynamic overwrites, so a replay must
+    leave every state table (and the clusters) byte-equivalent to a single
+    delivery, including when the crashed attempt wrote only SOME tables."""
+    import shutil
+
+    from deduplicate_spark.streaming.incremental import current_clusters
+
+    turns_pd, _ = generate_transcripts(n_base=20, seed=17)
+    is_copy = turns_pd["conv_id"].str.startswith(("dupx/", "dupn/", "mirror"))
+    b1 = spark.createDataFrame(turns_pd[~is_copy], TRANSCRIPTS_SCHEMA)
+    b2 = spark.createDataFrame(turns_pd[is_copy], TRANSCRIPTS_SCHEMA)
+
+    cfg = DedupConfig()
+    process_batch(spark, b1, state, cfg, first_batch=True, epoch=0)
+    process_batch(spark, b2, state, cfg, first_batch=False, epoch=1)
+
+    def snapshot():
+        out = {}
+        for name in ("docs_path", "signatures_path", "pairs_path", "reps_path"):
+            df = spark.read.parquet(getattr(state, name))
+            key = "exact_sha" if name == "reps_path" else df.columns[0]
+            out[name] = (df.count(), df.select(key).distinct().count())
+        out["clusters"] = _cluster_partition(current_clusters(spark, state, cfg))
+        return out
+
+    once = snapshot()
+
+    # full replay of epoch 1 (crash after all writes, before commit)
+    process_batch(spark, b2, state, cfg, first_batch=False, epoch=1)
+    assert snapshot() == once
+
+    # partial-crash replay: epoch 1 died before the reps write landed
+    shutil.rmtree(f"{state.reps_path}/wseq=1")
+    process_batch(spark, b2, state, cfg, first_batch=False, epoch=1)
+    assert snapshot() == once
+
+
+def test_buffered_replay_is_idempotent(spark, state):
+    """Replaying a buffered batch_seq (the foreachBatch epoch) must not
+    double-buffer turns: the released conversations' doc_text — and the
+    final clusters — must equal a clean one-shot batch run."""
+    from deduplicate_spark.pipeline import run_pipeline
+    from deduplicate_spark.streaming.incremental import (
+        current_clusters,
+        flush_buffered,
+        process_batch_buffered,
+    )
+
+    turns_pd, _ = generate_transcripts(n_base=25, seed=37)
+    cfg = DedupConfig()
+    parts = [
+        turns_pd[turns_pd["turn_idx"] % 2 == 0],
+        turns_pd[turns_pd["turn_idx"] % 2 == 1],
+    ]
+    for seq, part in enumerate(parts):
+        bdf = spark.createDataFrame(part, TRANSCRIPTS_SCHEMA)
+        process_batch_buffered(spark, bdf, state, cfg, batch_seq=seq, buffer_lag=1)
+        # crash-replay the same epoch: redelivered batch, same seq
+        m = process_batch_buffered(spark, bdf, state, cfg, batch_seq=seq, buffer_lag=1)
+        assert m["late_turn_convs"] == 0
+    flush_buffered(spark, state, cfg)
+
+    # doubled turn buffers would change doc_text -> different exact_sha set
+    clean_docs = run_pipeline(
+        spark, spark.createDataFrame(turns_pd, TRANSCRIPTS_SCHEMA), cfg
+    )
+    stream_shas = {
+        r.exact_sha
+        for r in spark.read.parquet(state.docs_path).select("exact_sha").collect()
+    }
+    clean_shas = {r.exact_sha for r in clean_docs.docs.select("exact_sha").collect()}
+    assert stream_shas == clean_shas
+    assert _cluster_partition(current_clusters(spark, state, cfg)) == _cluster_partition(
+        clean_docs.clusters
+    )
+
+
+def test_legacy_state_layout_raises_clearly(spark, state):
+    """A state dir written before the wseq layout cannot be appended to
+    replay-safely: the batch-processing read path must fail with the
+    migration message, not silently mix layouts."""
+    import pandas as pd
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rows, columns=cols), TRANSCRIPTS_SCHEMA
+    )
+    # simulate the pre-wseq layout: kmod-partitioned, no epoch level
+    legacy = spark.createDataFrame(
+        [("deadbeef", "old/0", 0)], "exact_sha string, old_rep string, kmod int"
+    )
+    legacy.write.partitionBy("kmod").parquet(state.reps_path)
+    spark.createDataFrame(
+        [("old/0", "t", 5, 5, "p", "deadbeef", 0)],
+        "conv_id string, doc_text string, n_turns int, total_len long, "
+        "prefix_sha string, exact_sha string, kmod int",
+    ).write.partitionBy("kmod").parquet(state.docs_path)
+
+    with pytest.raises(ValueError, match="wseq"):
+        process_batch(
+            spark,
+            mk([("B", 0, "user", "brand new content here", "", None)]),
+            state,
+            DedupConfig(),
+            first_batch=False,
+            epoch=1,
+        )
