@@ -72,6 +72,15 @@ def assemble_docs(turns: DataFrame, config: DedupConfig | None = None) -> DataFr
         )
     )
 
+    return doc_hash_keys(assembled)
+
+
+def doc_hash_keys(assembled: DataFrame) -> DataFrame:
+    """(conv_id, doc_text, n_turns) -> + the cascade key columns. Shared by
+    batch assembly and the stateful-streaming sessionizer so both surfaces
+    produce BYTE-IDENTICAL keys for the same conversation (pinned by
+    tests/test_sessionize.py). Stateless projection — valid on a streaming
+    DataFrame."""
     return assembled.select(
         "conv_id",
         "doc_text",

@@ -1,0 +1,113 @@
+"""Session-window conversation assembly via ``applyInPandasWithState``.
+
+The second streaming ingestion surface beside foreachBatch
+(:mod:`deduplicate_spark.streaming.incremental`): where the buffered
+foreachBatch mode releases a conversation after N QUIET MICRO-BATCHES,
+this operator is the Spark-native custom-stateful form — per-conversation
+state lives in Spark's state store (RocksDB/HDFS-backed on a real
+cluster, checkpointed with the query), and a conversation is emitted as
+one assembled document when its processing-time session GAP expires, the
+classic session-window pattern.
+
+Scale shape: state is partitioned by conv_id (the groupBy key), so state
+size per executor is O(open conversations / executors), independent of
+stream history; each trigger touches only the groups present in the batch
+plus expired timers. Arrow-batched pandas transfer, no per-row Python.
+
+Parity contract: for the same turns, the emitted documents carry
+BYTE-IDENTICAL cascade keys to batch :func:`assemble_docs` — the turn
+ordering (turn_idx, then text as tie-break), separator, and hash
+projection (:func:`doc_hash_keys`) are shared, pinned by
+tests/test_sessionize.py.
+
+The reference has no streaming at all (SURVEY.md §2.9); this module, like
+incremental.py, is part of the production-pipeline surface a 100 TB
+transcript feed needs rather than reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from deduplicate_spark.config import DedupConfig
+from deduplicate_spark.operators.assembly import apply_excludes, doc_hash_keys
+
+# assembled-doc rows emitted when a session closes; hash keys are attached
+# by the shared batch projection afterwards (doc_hash_keys), NOT computed in
+# pandas — one hashing implementation, two surfaces
+_OUTPUT_SCHEMA = "conv_id string, doc_text string, n_turns int"
+# buffered turns per open conversation; parallel arrays (Spark state rows
+# are flat structs — cheaper than one serialized blob per turn)
+_STATE_SCHEMA = "idx array<int>, txt array<string>"
+
+
+def assemble_session(
+    key: Tuple[str],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_ms: int = 30_000,
+    separator: str = "\n",
+) -> Iterator[pd.DataFrame]:
+    """The per-conversation state function. Pure Python over pandas
+    batches + a GroupState handle, so it is unit-testable without a
+    streaming query (tests drive it with a stub state).
+
+    Accumulates (turn_idx, text) while turns keep arriving and re-arms the
+    gap timer; on timeout, sorts by (turn_idx, text) — the exact
+    ``array_sort(struct(turn_idx, text))`` order of batch assembly — joins
+    with the separator, emits ONE document row, and drops the state."""
+    if state.hasTimedOut:
+        idx, txt = state.get
+        order = sorted(range(len(idx)), key=lambda i: (idx[i], txt[i]))
+        doc = separator.join(txt[i] if txt[i] is not None else "" for i in order)
+        state.remove()
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "doc_text": [doc], "n_turns": [len(idx)]}
+        )
+        return
+    idx, txt = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+    for pdf in pdfs:
+        idx.extend(int(i) for i in pdf["turn_idx"])
+        txt.extend(None if t is None else str(t) for t in pdf["text"])
+    state.update((idx, txt))
+    state.setTimeoutDuration(gap_ms)
+    return
+
+
+def sessionize_turns(
+    turns: DataFrame,
+    config: DedupConfig | None = None,
+    gap_ms: int = 30_000,
+) -> DataFrame:
+    """streaming turns -> streaming assembled docs (same columns as batch
+    ``assemble_docs``). Attach ``writeStream`` and feed the emitted docs
+    into the dedup cascade (e.g. via foreachBatch ``process_batch`` with
+    pre-assembled docs, or a downstream job).
+
+    Exclusion filters (F1) are applied BEFORE grouping, identically to the
+    batch path, so excluded roles/tools never enter the state store."""
+    config = config or DedupConfig()
+    turns = apply_excludes(turns, config)
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        return assemble_session(
+            key, pdfs, state, gap_ms=gap_ms, separator=config.turn_separator
+        )
+
+    assembled = (
+        turns.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return doc_hash_keys(assembled)
