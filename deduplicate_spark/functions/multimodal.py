@@ -92,6 +92,48 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, IMAGE_FEATURES_DDL)
 
 
+IMAGE_RESIZE_DDL = "media_id string, width int, height int, payload binary"
+
+
+def image_resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """binary payload -> resized binary payload, batched via mapInPandas —
+    the thumbnail/normalize step of a multimodal training pipeline. The
+    codec is the same STUB as :func:`_decode_image` (no PIL in this
+    container); the production-shaped parts — Arrow batch transfer, binary
+    in/binary out schema, per-batch numpy work, deterministic output for
+    identical input bytes — are real. Swap the two marked lines for
+    PIL.Image.open(...).resize(...) on a real deployment.
+
+    Scale shape: pure mapInPandas, no shuffle — resizing 10^9 images is
+    embarrassingly parallel over the scan partitions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                ids.append(media_id)
+                if not raw:
+                    payloads.append(b"")
+                    continue
+                img = _decode_image(raw)  # STUB decode (PIL in production)
+                # nearest-neighbor index grid — the real resample call in
+                # production; deterministic here so dedup-after-resize works
+                yi = np.linspace(0, img.shape[0] - 1, height).astype(int)
+                xi = np.linspace(0, img.shape[1] - 1, width).astype(int)
+                payloads.append(img[np.ix_(yi, xi)].astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array([width] * len(ids), dtype="int32"),
+                    "height": pd.array([height] * len(ids), dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, IMAGE_RESIZE_DDL)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: (media_id, frame_ts_ms) rows derived from
     metadata — native sequence/explode, no decode. The decode itself happens

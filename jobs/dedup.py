@@ -80,7 +80,80 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="signature estimator: classic 128-perm MinHash or "
                         "one-permutation hashing (O(shingles) kernel)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="Structured Streaming ingestion: watch --input (a parquet "
+        "directory) for new turn files and fold each micro-batch into the "
+        "state tables under --stream-state-root; on stop, write the "
+        "accumulated clusters under --output",
+    )
+    p.add_argument("--stream-state-root", default=None,
+                   help="root directory for the incremental state tables")
+    p.add_argument("--stream-buffer-lag", type=int, default=None,
+                   help="buffered mode: conversations may span batches; "
+                   "release after N quiet micro-batches")
+    p.add_argument("--stream-timeout-sec", type=float, default=None,
+                   help="stop the stream after this many seconds "
+                   "(default: run until terminated)")
     return p.parse_args(argv)
+
+
+def run_stream(spark, args, config) -> None:
+    """Streaming mode: the CLI face of streaming/incremental.py. The query
+    checkpoint lives under the state root — restarting the job against
+    existing state therefore reuses it, which the crash-replay-idempotent
+    state layout requires (epoch ids must continue, see stream_turns)."""
+    from deduplicate_spark.streaming.incremental import (
+        IncrementalState,
+        current_clusters,
+        flush_buffered,
+        stream_turns,
+    )
+
+    if not args.stream_state_root:
+        raise SystemExit("--stream requires --stream-state-root")
+    root = args.stream_state_root.rstrip("/")
+    state = IncrementalState(
+        docs_path=f"{root}/docs",
+        signatures_path=f"{root}/signatures",
+        pairs_path=f"{root}/pairs",
+    )
+    q = stream_turns(
+        spark,
+        args.input,
+        state,
+        config,
+        checkpoint_location=f"{root}/_query_checkpoint",
+        buffer_lag=args.stream_buffer_lag,
+    )
+    try:
+        if args.stream_timeout_sec:
+            q.awaitTermination(args.stream_timeout_sec)
+        else:
+            q.awaitTermination()
+    finally:
+        q.stop()
+    from deduplicate_spark.streaming.incremental import _table_exists
+
+    metrics = {}
+    if args.stream_buffer_lag is not None and _table_exists(spark, state.pending_path):
+        metrics = flush_buffered(spark, state, config)
+    if not _table_exists(spark, state.pairs_path):
+        # the stream stopped before any micro-batch finished — no state
+        # yet; emit an empty cluster table rather than failing the job
+        spark.createDataFrame([], "conv_id string, cluster_id string").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/clusters")
+        print(json.dumps({"mode": "stream", "clusters": 0, "note": "no batches completed"}))
+        return
+    clusters = current_clusters(spark, state, config)
+    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    print(json.dumps({
+        "mode": "stream",
+        "clusters": clusters.select("cluster_id").distinct().count(),
+        **{k: int(v) for k, v in metrics.items()},
+    }))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -119,6 +192,11 @@ def main(argv: list[str] | None = None) -> None:
         enable_substring_pass=args.substring,
         complete_hash=args.complete_hash,
     )
+
+    if args.stream:
+        run_stream(spark, args, config)
+        spark.stop()
+        return
 
     if args.input.endswith((".parquet", "/")) or "/" in args.input:
         turns = spark.read.parquet(args.input)

@@ -79,3 +79,21 @@ def test_media_dup_clusters_skew_safe_plan(media):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_image_resize_plumbing(media):
+    from deduplicate_spark.functions.multimodal import image_resize
+
+    out = {
+        r["media_id"]: r
+        for r in image_resize(
+            media.filter(F.col("kind") == "image"), width=4, height=4
+        ).collect()
+    }
+    assert set(out) == {"m1", "m2", "m3"}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (4, 4)
+        assert len(r["payload"]) == 16  # 4x4 uint8
+    # identical input bytes -> identical resized bytes (dedup-after-resize)
+    assert bytes(out["m1"]["payload"]) == bytes(out["m2"]["payload"])
+    assert bytes(out["m1"]["payload"]) != bytes(out["m3"]["payload"])
