@@ -575,8 +575,12 @@ def flush_buffered(
     allpairs_max: int = ALLPAIRS_MAX_DEFAULT,
 ) -> dict[str, int]:
     """Stream-end flush: release every conversation still in the buffer
-    (terminal operation — reads the whole pending log once)."""
+    (terminal operation — reads the whole pending log once). A state with
+    no pending log (the stream stopped before any batch completed) is a
+    no-op, not an error."""
     config = config or DedupConfig()
+    if not _table_exists(spark, state.pending_path):
+        return {"released_convs": 0}
     pend = spark.read.parquet(state.pending_path).select("conv_id").distinct()
     if _table_exists(spark, state.released_path):
         pend = pend.join(

@@ -530,3 +530,11 @@ def test_legacy_state_layout_raises_clearly(spark, state):
             first_batch=False,
             epoch=1,
         )
+
+
+def test_flush_buffered_on_empty_state_is_noop(spark, state):
+    """Flushing before any batch ran (stream stopped early) must be a
+    no-op, not a PATH_NOT_FOUND crash."""
+    from deduplicate_spark.streaming.incremental import flush_buffered
+
+    assert flush_buffered(spark, state, DedupConfig()) == {"released_convs": 0}
