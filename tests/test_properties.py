@@ -144,3 +144,52 @@ def test_lsh_recall_monotone_in_bands():
         for i in range(32)
     )
     assert matches_32 >= matches_16
+
+
+# ---- OPH signature properties (driver-side kernel, no Spark) -------------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_oph_signature_deterministic_and_dense(hashes):
+    """OPH: deterministic, fully densified (no empty-bin sentinel
+    survives), dtype-stable — for ANY shingle multiset."""
+    from deduplicate_spark.operators.minhash import oph_signature
+
+    sh = np.array(hashes, dtype=np.uint64)
+    a = oph_signature(sh, 128)
+    b = oph_signature(sh, 128)
+    assert a.dtype == np.uint64 and len(a) == 128
+    assert (a == b).all()
+    assert (a != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_oph_identical_sets_identical_signatures(hashes):
+    """Identical shingle SETS (order/multiplicity ignored) must collide on
+    every bin — the J=1 contract OPH shares with classic MinHash."""
+    from deduplicate_spark.operators.minhash import oph_signature
+
+    sh = np.array(hashes, dtype=np.uint64)
+    rng = np.random.default_rng(7)
+    shuffled = np.concatenate([sh, sh[rng.permutation(len(sh))]])
+    assert (oph_signature(sh, 64) == oph_signature(shuffled, 64)).all()
+
+
+# ---- two-phase byte gate: bound algebra ----------------------------------
+
+@given(
+    st.integers(min_value=0, max_value=10**12),   # char sum
+    st.integers(min_value=1, max_value=10**12),   # threshold
+    st.floats(min_value=1.0, max_value=4.0),      # true bytes/char ratio
+)
+@settings(max_examples=300, deadline=None)
+def test_two_phase_gate_bounds_are_sound(chars, threshold, ratio):
+    """Whenever the cheap phase claims a decision (threshold outside
+    [chars, 4*chars]), the decision must equal the one true bytes would
+    give, for EVERY legal UTF-8 bytes/char ratio in [1, 4]."""
+    true_bytes = int(chars * ratio)
+    lo, hi = chars, chars * 4
+    if not (lo <= threshold <= hi):  # cheap phase decides using lo
+        assert (lo > threshold) == (true_bytes > threshold)
+        assert (lo < threshold) == (true_bytes < threshold)
