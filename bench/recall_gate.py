@@ -25,6 +25,14 @@ def main() -> None:
     ap.add_argument("--n-base", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=99)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--minhash-mode",
+        choices=("perm", "oph"),
+        default="perm",
+        help="signature kernel under test; the oracle uses the SAME mode, so "
+        "recall_vs_oracle stays a pipeline-vs-semantics check while the "
+        "planted per-kind numbers measure the kernel's detection quality",
+    )
     args = ap.parse_args()
 
     from deduplicate_spark.config import DedupConfig
@@ -34,7 +42,11 @@ def main() -> None:
     from deduplicate_spark.schema import TRANSCRIPTS_SCHEMA
     from deduplicate_spark.session import get_spark
 
-    cfg = DedupConfig(exclude_roles=("system",), enable_substring_pass=True)
+    cfg = DedupConfig(
+        exclude_roles=("system",),
+        enable_substring_pass=True,
+        minhash_mode=args.minhash_mode,
+    )
     turns_pd, manifest = generate_transcripts(n_base=args.n_base, seed=args.seed)
     mdf = manifest_df(manifest)
 
@@ -70,6 +82,7 @@ def main() -> None:
         "found_pairs": len(found),
         "oracle_pairs": len(oracle),
         "planted": planted,
+        "minhash_mode": args.minhash_mode,
         "config_hash": cfg.config_hash(),
     }
     print(json.dumps(out))
@@ -77,7 +90,7 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "RECALL.md"), "a") as fh:
         fh.write(
-            f"\n- n_base={args.n_base} seed={args.seed}: "
+            f"\n- n_base={args.n_base} seed={args.seed} mode={args.minhash_mode}: "
             f"recall_vs_oracle={out['recall_vs_oracle']}, "
             f"oracle_containment={out['oracle_containment']}, "
             f"planted={{exact: {planted['exact']['recall']}, "
