@@ -93,7 +93,7 @@ def read_bucketed(spark, wh_dir: str):
 
 
 def run_once(cores: int, input_path: str, wh_dir: str | None = None,
-             minhash_mode: str = "perm") -> float:
+             minhash_mode: str = "oph") -> float:
     from deduplicate_spark.config import DedupConfig
     from deduplicate_spark.pipeline import run_pipeline
     from deduplicate_spark.session import get_spark
@@ -139,7 +139,7 @@ def main() -> None:
     ap.add_argument("--skip-materialize", action="store_true",
                     help="reuse --input-cache from a prior materialization")
     ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--minhash-mode", default="perm", choices=("perm", "oph"),
+    ap.add_argument("--minhash-mode", default="oph", choices=("perm", "oph"),
                     help="signature estimator for the timed pipeline runs")
     ap.add_argument("--bucketed", action="store_true",
                     help="materialize + read the corpus as a conv_id-bucketed "

@@ -27,14 +27,26 @@ class DedupConfig:
     # --- shingling / MinHash (stage 2) ---
     shingle_k: int = 9           # char k-grams over the assembled doc
     num_perm: int = 128          # MinHash permutations / OPH bins
-    # signature estimator: 'perm' = classic 128-permutation MinHash
-    # (Broder 1997); 'oph' = one-permutation hashing with rotation
-    # densification (Li/Owen/Zhang NIPS'12, Shrivastava/Li ICML'14) — the
-    # same P(match)=Jaccard estimator at O(shingles) instead of
-    # O(shingles x num_perm) kernel cost (measured ~10x on the minhash
-    # step; the signature kernel dominates at-scale s-cpu). Same LSH
-    # banding, confirmation, and rescue paths on top of either mode.
-    minhash_mode: str = "perm"
+    # signature estimator: 'oph' (DEFAULT since r5) = one-permutation
+    # hashing with rotation densification (Li/Owen/Zhang NIPS'12,
+    # Shrivastava/Li ICML'14); 'perm' = classic 128-permutation MinHash
+    # (Broder 1997). Both are P(match)=Jaccard estimators with the same
+    # LSH banding, confirmation, and rescue paths on top; OPH costs
+    # O(shingles) instead of O(shingles x num_perm) (measured 10-18x on
+    # the minhash step, which dominates at-scale s-cpu; 2-core 6.5M wall
+    # -11%, 8-core -27% in the worst host window). Flip evidence
+    # (BENCH/BASELINE.md r5): identical 841-pair recall-gate output vs
+    # perm at n_base=2000, planted near-recall 1.0/0.9954 across seeds,
+    # measured estimator bias ~0 at all doc lengths, zero LSH false
+    # positives on unrelated docs down to 22-shingle documents, and
+    # HIGHER band sensitivity than perm on short docs in the J>=0.5
+    # recall zone (300/300 vs 235/300 at J~0.56, L=30). Trade-off, also
+    # measured: on short docs at moderate J (0.3-0.5) OPH's densified
+    # bins over-fire bands vs perm (~2x the candidate pairs from that
+    # band), all rejected downstream by the SimHash hamming gate —
+    # bounded extra confirm cost, no correctness effect. 'perm' remains
+    # fully supported for strict Broder-estimator reproduction.
+    minhash_mode: str = "oph"
     lsh_bands: int = 32          # b
     lsh_rows: int = 4            # r  (b*r must equal num_perm)
     max_shingle_chars: int = 200_000   # cap per-doc kernel input (skew guard)

@@ -76,9 +76,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "0.7); negative disables the rescue — the old CLI "
                         "default of None silently disabled it, diverging "
                         "from library-default runs")
-    p.add_argument("--minhash-mode", default="perm", choices=("perm", "oph"),
-                   help="signature estimator: classic 128-perm MinHash or "
-                        "one-permutation hashing (O(shingles) kernel)")
+    p.add_argument("--minhash-mode", default="oph", choices=("perm", "oph"),
+                   help="signature estimator: one-permutation hashing "
+                        "(O(shingles) kernel, the default) or classic "
+                        "128-perm MinHash (--minhash-mode perm)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument(
         "--stream",
