@@ -68,8 +68,12 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # flagship: full dedup pipeline over a multi-turn transcript corpus
-    cfg = DedupConfig()
+    # flagship: full dedup pipeline over a multi-turn transcript corpus.
+    # SPARK_GRAFT_MINHASH_MODE overrides the signature estimator for
+    # same-window A/Bs (unset -> the library default); recorded in the
+    # JSON line so no run is ambiguous about what it measured.
+    mode_env = os.environ.get("SPARK_GRAFT_MINHASH_MODE")
+    cfg = DedupConfig(**({"minhash_mode": mode_env} if mode_env else {}))
     turns = eq.docs_as_multiturn_transcripts(spark, sf_dir).cache()
     n_turns = turns.count()  # materialize input outside the timed region
 
@@ -129,6 +133,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "minhash_mode": cfg.minhash_mode,
                 **{k: v for k, v in extras.items()},
             }
         )
