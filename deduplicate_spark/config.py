@@ -47,6 +47,17 @@ class DedupConfig:
     # bounded extra confirm cost, no correctness effect. 'perm' remains
     # fully supported for strict Broder-estimator reproduction.
     minhash_mode: str = "oph"
+    # OPH-only: interleave signature components so each contiguous LSH
+    # band reads bins a stride of `lsh_bands` apart. Rotation densification
+    # makes ADJACENT bins of sparse docs correlated (runs of empties borrow
+    # from one source), and contiguous bands amplify a single shared
+    # shingle into band collisions — measured 13x candidate-pair inflation
+    # on the real sf0.1 corpus (6,773 vs perm's 522; flagship wall 2x).
+    # The strided layout restores perm-level candidate volume (578) with
+    # identical true-pair containment; see _oph_stride_order. False
+    # reproduces the naive adjacent layout. Ignored under 'perm' (iid
+    # components — banding layout immaterial, 522 vs 526 measured).
+    oph_band_stride: bool = True
     lsh_bands: int = 32          # b
     lsh_rows: int = 4            # r  (b*r must equal num_perm)
     max_shingle_chars: int = 200_000   # cap per-doc kernel input (skew guard)

@@ -202,3 +202,73 @@ def test_oph_densification_emits_no_numpy_warnings():
         np.seterr(**old)
     assert sig.dtype == np.uint64 and len(sig) == 128
     assert (sig != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_oph_stride_order_layout():
+    """The strided layout is a permutation putting bins {j, j+b, j+2b,
+    j+3b} into contiguous band j — so contiguous LSH band slices read
+    stride-separated bins (densification runs can't fill a whole band)."""
+    from deduplicate_spark.operators.minhash import _oph_stride_order
+
+    order = _oph_stride_order(128, 32, 4)
+    assert sorted(order.tolist()) == list(range(128))
+    for j in (0, 5, 31):
+        assert order[j * 4 : (j + 1) * 4].tolist() == [j, j + 32, j + 64, j + 96]
+
+
+def test_doc_signature_oph_stride_dispatch():
+    """doc_signature applies the stride under the default config and
+    reproduces the raw adjacent layout under oph_band_stride=False."""
+    from deduplicate_spark.config import DedupConfig
+    from deduplicate_spark.operators.minhash import (
+        _oph_stride_order,
+        doc_signature,
+        oph_signature,
+        perm_params,
+    )
+
+    sh = shingle_hashes("some moderately sized document text " * 8, 9)
+    a, b = perm_params(128)
+    raw = oph_signature(sh, 128)
+    flat = doc_signature(sh, DedupConfig(oph_band_stride=False), a, b)
+    assert np.array_equal(flat, raw)
+    strided = doc_signature(sh, DedupConfig(), a, b)
+    assert np.array_equal(strided, raw[_oph_stride_order(128, 32, 4)])
+
+
+def test_oph_stride_kills_band_amplification_on_sparse_docs():
+    """Regression for the measured 13x candidate inflation: sparse docs
+    sharing ONE shingle must not fire LSH bands through densification
+    runs. Under the adjacent layout a single shared min-shingle fills
+    runs of empty bins identically in both docs and whole bands collide;
+    the strided layout needs an empty run >= lsh_bands to do that."""
+    from deduplicate_spark.config import DedupConfig
+    from deduplicate_spark.operators.minhash import doc_signature, perm_params
+
+    rng = np.random.default_rng(11)
+    a, b = perm_params(128)
+    cfg_adj = DedupConfig(oph_band_stride=False)
+    cfg_str = DedupConfig()
+    B, R = cfg_str.lsh_bands, cfg_str.lsh_rows
+
+    def band_fires(sa, sb):
+        return sum(
+            np.array_equal(sa[j * R : (j + 1) * R], sb[j * R : (j + 1) * R])
+            for j in range(B)
+        )
+
+    fires = {"adj": 0, "str": 0}
+    for _ in range(60):
+        shared = rng.integers(0, 1 << 63, size=1, dtype=np.uint64)
+        d1 = np.unique(np.concatenate([shared, rng.integers(0, 1 << 63, 5, dtype=np.uint64)]))
+        d2 = np.unique(np.concatenate([shared, rng.integers(0, 1 << 63, 5, dtype=np.uint64)]))
+        for key, cfg in (("adj", cfg_adj), ("str", cfg_str)):
+            fires[key] += band_fires(
+                doc_signature(d1, cfg, a, b), doc_signature(d2, cfg, a, b)
+            )
+    # J ~ 1/11: honest per-band fire probability ~ (1/11)^4 ~ 7e-5 -> ~0.13
+    # expected fires over 60*32 bands. The adjacent layout amplified this by
+    # orders of magnitude (the 13x corpus-level inflation); strided must
+    # stay within a small constant of honest.
+    assert fires["adj"] > 20 * max(fires["str"], 1) or fires["str"] <= 3, fires
+    assert fires["str"] <= 10, fires
