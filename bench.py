@@ -85,14 +85,32 @@ def main() -> None:
     warm = turns.limit(800)
     run_pipeline(spark, warm, DedupConfig(enable_substring_pass=True)).actions.count()
 
+    results: dict = {}
+
     def flagship() -> None:
         res = run_pipeline(spark, turns, cfg)
         extras["dup_convs"] = res.clusters.count()
         extras["n_actions"] = res.actions.count()
+        results["flagship"] = res
 
     timed("dedup_pipeline", flagship)
     extras["n_turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / timings["dedup_pipeline"], 1)
+
+    # no-silent-caps telemetry (VERDICT r5 #7): cap/fallback behavior must
+    # be visible per bench run, not only in store-backed metrics tables —
+    # a hot bucket degrading to star edges changes recall economics and
+    # should never hide behind a green wall number. Untimed: reads the
+    # already-checkpointed signature blocks.
+    from deduplicate_spark.operators.lsh import bucket_stats
+
+    bs = bucket_stats(results["flagship"].signatures, cfg).first()
+    extras["lsh_buckets"] = {
+        "n_buckets": bs.n_buckets,
+        "max_bucket": bs.max_bucket,
+        "n_star_fallback": bs.n_star_fallback,
+        "est_edges": bs.est_edges,
+    }
 
     # substring pass (separately - it is config-gated)
     def substr() -> None:
@@ -124,6 +142,37 @@ def main() -> None:
     timed("token_count", lambda: eq.q_tx_token_count(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    # Window-quality stamp (VERDICT r5 #3): this host's wall numbers swing
+    # 2-3x with noisy-neighbor DRAM bandwidth + fresh-page-fault collapse
+    # (BENCH/BASELINE.md "host pathology"). Every bench JSON carries the
+    # probe so a future reader can separate code changes from window luck
+    # without reading prose. Probed AFTER spark.stop() so the probe sees
+    # the host, not our own JVM's memory traffic.
+    try:
+        # NB: this file (bench.py) shadows the bench/ directory on sys.path,
+        # so `from bench.host_probe import ...` resolves to THIS module and
+        # fails — load the probe by file path instead.
+        import importlib.util
+
+        _spec = importlib.util.spec_from_file_location(
+            "host_probe",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench", "host_probe.py"
+            ),
+        )
+        _mod = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(_mod)
+        probe_row = _mod.probe()
+        probe_info = {
+            "copy_gbps": probe_row["resident_copy_gbps"],
+            "fresh_fill_s": probe_row["fresh_fill_128mib_s"],
+            "healthy": probe_row["healthy"],
+        }
+    except Exception:
+        probe_info = None
+
     print(
         json.dumps(
             {
@@ -134,11 +183,11 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "minhash_mode": cfg.minhash_mode,
+                "probe": probe_info,
                 **{k: v for k, v in extras.items()},
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -139,8 +139,12 @@ def main() -> None:
     ap.add_argument("--skip-materialize", action="store_true",
                     help="reuse --input-cache from a prior materialization")
     ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--minhash-mode", default="oph", choices=("perm", "oph"),
-                    help="signature estimator for the timed pipeline runs")
+    ap.add_argument("--minhash-mode", default="oph", choices=("perm", "oph", "both"),
+                    help="signature estimator for the timed pipeline runs; "
+                         "'both' interleaves oph and perm ADJACENTLY at each "
+                         "core count within every round — the same-window "
+                         "A/B protocol (r5 lesson: estimator comparisons "
+                         "across windows are meaningless on this host)")
     ap.add_argument("--bucketed", action="store_true",
                     help="materialize + read the corpus as a conv_id-bucketed "
                          "table (production Iceberg layout): assembly needs no "
@@ -172,41 +176,86 @@ def main() -> None:
     else:
         n_turns = materialize_input(args.sf_dir, args.replicate, args.input_cache)
 
-    # interleave to cancel thermal/cache drift; keep the best per level
+    # interleave to cancel thermal/cache drift; keep the best per level.
+    # With --minhash-mode both, the two estimators run back-to-back at each
+    # core count so every oph-vs-perm comparison shares one window. Each
+    # timed run is bracketed by a host probe (VERDICT r5 #3): wall numbers
+    # carry their window quality into the JSONL record.
+    def probe_now() -> dict | None:
+        try:
+            # plain module import: this script's own directory (bench/) is on
+            # sys.path; `bench.host_probe` would hit the repo-root bench.py
+            # module shadow instead.
+            from host_probe import probe
+
+            p = probe()
+            return {
+                "copy_gbps": p["resident_copy_gbps"],
+                "fresh_fill_s": p["fresh_fill_128mib_s"],
+                "healthy": p["healthy"],
+            }
+        except Exception:
+            return None
+
     wh = args.warehouse if args.bucketed else None
-    walls = {args.low: [], args.high: []}
+    modes = ["oph", "perm"] if args.minhash_mode == "both" else [args.minhash_mode]
+    walls: dict[tuple[str, int], list[float]] = {
+        (m, c): [] for m in modes for c in (args.low, args.high)
+    }
+    probes: dict[tuple[str, int], list] = {k: [] for k in walls}
     for _ in range(args.rounds):
         for cores in (args.low, args.high):
-            walls[cores].append(run_once(cores, args.input_cache, wh_dir=wh,
-                                         minhash_mode=args.minhash_mode))
+            for mode in modes:
+                pre = probe_now()
+                walls[(mode, cores)].append(
+                    run_once(cores, args.input_cache, wh_dir=wh, minhash_mode=mode)
+                )
+                probes[(mode, cores)].append(pre)
 
-    t_low = min(walls[args.low])
-    t_high = min(walls[args.high])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    results = []
+    for mode in modes:
+        t_low = min(walls[(mode, args.low)])
+        t_high = min(walls[(mode, args.high)])
+        thr_low = n_turns / t_low
+        thr_high = n_turns / t_high
+        efficiency = (thr_high / thr_low) / (args.high / args.low)
+        result = {
+            "n_turns": n_turns,
+            "replicate": args.replicate,
+            "sf_dir": args.sf_dir,
+            f"wall_sec_local{args.low}": round(t_low, 2),
+            f"wall_sec_local{args.high}": round(t_high, 2),
+            f"turns_per_sec_local{args.low}": round(thr_low, 1),
+            f"turns_per_sec_local{args.high}": round(thr_high, 1),
+            "speedup": round(thr_high / thr_low, 3),
+            "scaling_efficiency": round(efficiency, 3),
+            "all_walls": {
+                str(c): [round(x, 2) for x in walls[(mode, c)]]
+                for c in (args.low, args.high)
+            },
+            "probes": {
+                str(c): probes[(mode, c)] for c in (args.low, args.high)
+            },
+            "bucketed_input": args.bucketed,
+            "minhash_mode": mode,
+            "interleaved_with": [m for m in modes if m != mode] or None,
+            "warmup_excluded": True,
+        }
+        results.append(result)
+        print(json.dumps(result))
+        with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as fh:
+            fh.write(json.dumps(result) + "\n")
+
+    if not args.write_md:
+        return
+    # markdown template uses the FIRST mode's numbers
+    t_low = min(walls[(modes[0], args.low)])
+    t_high = min(walls[(modes[0], args.high)])
     thr_low = n_turns / t_low
     thr_high = n_turns / t_high
     efficiency = (thr_high / thr_low) / (args.high / args.low)
-
-    result = {
-        "n_turns": n_turns,
-        "replicate": args.replicate,
-        "sf_dir": args.sf_dir,
-        f"wall_sec_local{args.low}": round(t_low, 2),
-        f"wall_sec_local{args.high}": round(t_high, 2),
-        f"turns_per_sec_local{args.low}": round(thr_low, 1),
-        f"turns_per_sec_local{args.high}": round(thr_high, 1),
-        "speedup": round(thr_high / thr_low, 3),
-        "scaling_efficiency": round(efficiency, 3),
-        "all_walls": {str(k): [round(x, 2) for x in v] for k, v in walls.items()},
-        "bucketed_input": args.bucketed,
-        "minhash_mode": args.minhash_mode,
-        "warmup_excluded": True,
-    }
-    print(json.dumps(result))
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as fh:
-        fh.write(json.dumps(result) + "\n")
-    if not args.write_md:
-        return
+    result = results[0]
 
     md = f"""# BENCH/BASELINE — measured numbers
 

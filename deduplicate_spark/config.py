@@ -14,6 +14,25 @@ import json
 from dataclasses import asdict, dataclass, field
 
 
+# Knobs that pick a physical strategy but cannot change the result set.
+# config_hash ignores them (see its docstring). internal_long_ids stays
+# SEMANTIC despite being a physical optimization: an id collision (guarded
+# by verify_long_ids) can alter output, so runs under different id spaces
+# must not share checkpoints.
+_PHYSICAL_KNOBS = frozenset(
+    {
+        "forced_smj",
+        "forced_smj_min_docs",
+        "forced_smj_min_bytes",
+        "rescue_short_circuit",
+        "kernel_small_corpus",
+        "shuffle_partitions",
+        "cc_max_rounds",
+        "verify_long_ids",
+    }
+)
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     # --- assembly (stage 0) ---
@@ -175,9 +194,24 @@ class DedupConfig:
             raise ValueError(f"minhash_mode='oph' needs a power-of-two num_perm, got {self.num_perm}")
 
     def config_hash(self) -> str:
-        """Deterministic hash of the config — keys checkpoint reuse
-        (reference analog: sha1 of sorted dir set, dupe_analysis.py:38-43)."""
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        """Deterministic hash of the SEMANTIC config — keys checkpoint reuse
+        (reference analog: sha1 of sorted dir set, dupe_analysis.py:38-43).
+
+        Execution-strategy knobs (_PHYSICAL_KNOBS) steer the physical plan —
+        join strategy, eagerness, parallelism, guard rails — and cannot
+        change the result set, so they are excluded: toggling them, or
+        adding new ones with default values, must not invalidate resumable
+        checkpoint state (ADVICE r5: r5's auto-gate knob additions silently
+        orphaned every pre-existing CheckpointStore root). Introducing this
+        split is itself the LAST such break: pre-r6 store roots stop
+        matching once (safe direction — they are recomputed, never reused
+        wrongly); from r6 on, physical knobs join the exclusion set and the
+        hash stays stable."""
+        payload = json.dumps(
+            {k: v for k, v in asdict(self).items() if k not in _PHYSICAL_KNOBS},
+            sort_keys=True,
+            default=str,
+        )
         return hashlib.sha1(payload.encode()).hexdigest()[:16]
 
 

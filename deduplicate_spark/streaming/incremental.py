@@ -53,7 +53,7 @@ tests/test_streaming.py::test_streaming_equals_clean_batch_run).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,6 +91,11 @@ class IncrementalState:
     pending_path: str | None = None
     released_path: str | None = None
     state_partitions: int = 32
+    # driver-side memo of state tables already observed on disk: existence
+    # probes are a LIST + schema-inference round trip whose cost grows with
+    # accumulated wseq partitions, so each table is probed at most once per
+    # process and never again after this process itself wrote it
+    _known_tables: set = field(default_factory=set, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         if self.buckets_path is None:
@@ -228,6 +233,21 @@ def process_batch(
     config = config or DedupConfig()
     if epoch is None:
         epoch = 0 if first_batch else _next_epoch(spark, state.docs_path)
+
+    def prior_state(path: str, mods: list[int], empty_like: DataFrame) -> DataFrame:
+        """Guarded prior-state read (ADVICE r5 medium): process_batch writes
+        its five state tables in sequence, so a crash between the docs write
+        and a later table's write leaves the docs probe saying "not first
+        batch" while e.g. reps/buckets don't exist yet — the replay must
+        treat a MISSING table as "no prior state" (empty, same schema as the
+        batch-local table) rather than raise PATH_NOT_FOUND forever. The
+        epoch's own partial rows are excluded by exclude_wseq anyway, so the
+        fallback and the pruned read agree on crash-replay semantics."""
+        if path not in state._known_tables:
+            if not _table_exists(spark, path):
+                return empty_like.limit(0)
+            state._known_tables.add(path)
+        return pruned_state_read(spark, path, mods, exclude_wseq=epoch)
     # drop the gate-only byte column: the docs STATE dir schema must stay
     # stable across versions (appends + unionByName with prior-run state)
     new_docs = (
@@ -264,7 +284,11 @@ def process_batch(
         smods = _collect_mods(
             new_docs.select("exact_sha").distinct(), "exact_sha", state.state_partitions
         )
-        old_reps = pruned_state_read(spark, state.reps_path, smods, exclude_wseq=epoch)
+        old_reps = prior_state(
+            state.reps_path,
+            smods,
+            new_docs.select("exact_sha", F.col("conv_id").alias("old_rep")),
+        )
         matched = exact_new.join(old_reps, "exact_sha").transform(lambda _df: cut_lineage(_df, eager=False))
         n_instant = matched.count()
         instant_edges = matched.select(
@@ -307,9 +331,7 @@ def process_batch(
         # History is never re-banded (the state IS the banding).
         new_keys = new_buckets.select("band_hash").distinct()
         bmods = _collect_mods(new_keys, "band_hash", state.state_partitions)
-        touched_old = pruned_state_read(
-            spark, state.buckets_path, bmods, exclude_wseq=epoch
-        ).join(
+        touched_old = prior_state(state.buckets_path, bmods, new_buckets).join(
             F.broadcast(new_keys), "band_hash"
         )
 
@@ -365,14 +387,12 @@ def process_batch(
         # for a per-batch endpoint set is exactly the O(history) I/O this
         # layout removes)
         emods = _collect_mods(endpoints, "conv_id", state.state_partitions)
-        old_needed = pruned_state_read(
-            spark, state.signatures_path, emods, exclude_wseq=epoch
-        ).join(
+        old_needed = prior_state(state.signatures_path, emods, new_sigs).join(
             F.broadcast(endpoints), "conv_id", "left_semi"
         )
         sig_source = new_sigs.unionByName(old_needed)
         docs_source = new_docs.unionByName(
-            pruned_state_read(spark, state.docs_path, emods, exclude_wseq=epoch).join(
+            prior_state(state.docs_path, emods, new_docs).join(
                 F.broadcast(endpoints), "conv_id", "left_semi"
             )
         )
@@ -417,6 +437,16 @@ def process_batch(
         "exact_sha",
         n_parts,
         reset=first_batch,
+    )
+
+    state._known_tables.update(
+        {
+            state.docs_path,
+            state.signatures_path,
+            state.buckets_path,
+            state.pairs_path,
+            state.reps_path,
+        }
     )
 
     n_confirmed = confirmed.count()

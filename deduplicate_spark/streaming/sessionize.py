@@ -63,7 +63,15 @@ def assemble_session(
     with the separator, emits ONE document row, and drops the state."""
     if state.hasTimedOut:
         idx, txt = state.get
-        order = sorted(range(len(idx)), key=lambda i: (idx[i], txt[i]))
+        # None-safe tie-break matching Spark's struct ordering exactly:
+        # array_sort(struct(turn_idx, text)) puts a null text BEFORE any
+        # string at the same turn_idx (ascending structs order null fields
+        # first). A plain (idx, txt) key would raise TypeError on a
+        # None-vs-str comparison (ADVICE r5) AND break byte-parity.
+        order = sorted(
+            range(len(idx)),
+            key=lambda i: (idx[i], txt[i] is not None, txt[i] or ""),
+        )
         doc = separator.join(txt[i] if txt[i] is not None else "" for i in order)
         state.remove()
         yield pd.DataFrame(

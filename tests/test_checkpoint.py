@@ -239,3 +239,38 @@ def test_subset_reuse_rescans_at_same_size(spark, tmp_path):
     assert plan.computed == []
     assert len(computed_log) == 4  # nothing recomputed
     assert out.count() == 14
+
+
+def test_config_hash_ignores_physical_knobs():
+    """ADVICE r5: adding/toggling execution-strategy knobs (auto-gates,
+    parallelism, guard rails) must not orphan resumable checkpoint roots —
+    only SEMANTIC knobs (anything that can change the result set) key the
+    store."""
+    base = DedupConfig()
+    physical = DedupConfig(
+        forced_smj=True,
+        forced_smj_min_docs=7,
+        forced_smj_min_bytes=123,
+        rescue_short_circuit=True,
+        kernel_small_corpus=True,
+        shuffle_partitions=4,
+        cc_max_rounds=99,
+        verify_long_ids=False,
+    )
+    assert physical.config_hash() == base.config_hash()
+    # semantic knobs must still change the hash
+    assert DedupConfig(shingle_k=7).config_hash() != base.config_hash()
+    assert DedupConfig(minhash_mode="perm").config_hash() != base.config_hash()
+    assert DedupConfig(internal_long_ids=False).config_hash() != base.config_hash()
+
+
+def test_physical_knob_set_matches_dataclass_fields():
+    """Guard against drift: every name in _PHYSICAL_KNOBS must be a real
+    DedupConfig field (a renamed knob silently re-entering the hash is the
+    exact failure mode the split exists to prevent)."""
+    from dataclasses import fields
+
+    from deduplicate_spark.config import _PHYSICAL_KNOBS
+
+    names = {f.name for f in fields(DedupConfig)}
+    assert _PHYSICAL_KNOBS <= names

@@ -81,6 +81,26 @@ def test_assemble_session_null_text_joins_as_empty():
     assert row.doc_text == "\ntail"
 
 
+def test_assemble_session_null_tiebreak_matches_struct_order():
+    """ADVICE r5: two turns sharing a turn_idx, one with null text, must not
+    crash the sort (None vs str is unorderable) and must order the null
+    FIRST — Spark's array_sort(struct(turn_idx, text)) semantics, i.e. the
+    batch path's byte-parity contract."""
+    st = _StubState()
+    list(
+        assemble_session(
+            ("c3",),
+            [pd.DataFrame({"turn_idx": [0, 0, 1], "text": ["alpha", None, "tail"]})],
+            st,
+        )
+    )
+    st.hasTimedOut = True
+    row = list(assemble_session(("c3",), [], st))[0].iloc[0]
+    # null-at-idx-0 sorts before "alpha" at idx 0 -> "", "alpha", "tail"
+    assert row.doc_text == "\nalpha\ntail"
+    assert row.n_turns == 3
+
+
 def test_sessionize_stream_matches_batch_assembly(spark, tmp_path):
     """End-to-end streaming query: documents emitted by the session-window
     operator carry byte-identical cascade keys to batch assemble_docs on

@@ -460,6 +460,51 @@ def test_immediate_replay_is_idempotent(spark, state, tmp_path):
     assert snapshot() == once
 
 
+def test_first_epoch_partial_crash_recovers(spark, state, tmp_path):
+    """ADVICE r5 (medium): epoch 0 crashes AFTER the docs write but before
+    any later state table lands. On restart the stream probes docs_path,
+    concludes first_batch=False, and replays epoch 0 — the replay must treat
+    each MISSING state table as empty prior state (not PATH_NOT_FOUND) and
+    converge to the same clusters as an uncrashed run."""
+    import shutil
+
+    from deduplicate_spark.streaming.incremental import current_clusters
+
+    turns_pd, _ = generate_transcripts(n_base=20, seed=29)
+    is_copy = turns_pd["conv_id"].str.startswith(("dupx/", "dupn/", "mirror"))
+    b1 = spark.createDataFrame(turns_pd[~is_copy], TRANSCRIPTS_SCHEMA)
+    b2 = spark.createDataFrame(turns_pd[is_copy], TRANSCRIPTS_SCHEMA)
+    cfg = DedupConfig()
+
+    # stage the crash: run epoch 0 fully, then erase everything EXCEPT docs
+    process_batch(spark, b1, state, cfg, first_batch=True, epoch=0)
+    for p in (state.signatures_path, state.buckets_path, state.pairs_path,
+              state.reps_path):
+        shutil.rmtree(p)
+
+    # restart: a fresh process has no memoized table knowledge
+    recovered = IncrementalState(
+        docs_path=state.docs_path,
+        signatures_path=state.signatures_path,
+        pairs_path=state.pairs_path,
+    )
+    # the stream's docs probe says "state exists" -> first_batch=False replay
+    process_batch(spark, b1, recovered, cfg, first_batch=False, epoch=0)
+    process_batch(spark, b2, recovered, cfg, first_batch=False, epoch=1)
+    got = _cluster_partition(current_clusters(spark, recovered, cfg))
+
+    # uncrashed control on a separate state root
+    control = IncrementalState(
+        docs_path=str(tmp_path / "c_docs"),
+        signatures_path=str(tmp_path / "c_sigs"),
+        pairs_path=str(tmp_path / "c_pairs"),
+    )
+    process_batch(spark, b1, control, cfg, first_batch=True, epoch=0)
+    process_batch(spark, b2, control, cfg, first_batch=False, epoch=1)
+    want = _cluster_partition(current_clusters(spark, control, cfg))
+    assert got == want
+
+
 def test_buffered_replay_is_idempotent(spark, state):
     """Replaying a buffered batch_seq (the foreachBatch epoch) must not
     double-buffer turns: the released conversations' doc_text — and the
