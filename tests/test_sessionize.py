@@ -14,11 +14,19 @@ from deduplicate_spark.streaming.sessionize import assemble_session
 class _StubState:
     """Minimal GroupState double: just enough surface for the state fn."""
 
-    def __init__(self):
+    def __init__(self, watermark_ms=0):
         self._v = None
         self.hasTimedOut = False
         self.timeout_ms = None
+        self.timeout_ts = None
         self.removed = False
+        self._watermark_ms = watermark_ms
+
+    def getCurrentWatermarkMs(self):
+        return self._watermark_ms
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
 
     @property
     def exists(self):
@@ -99,6 +107,163 @@ def test_assemble_session_null_tiebreak_matches_struct_order():
     # null-at-idx-0 sorts before "alpha" at idx 0 -> "", "alpha", "tail"
     assert row.doc_text == "\nalpha\ntail"
     assert row.n_turns == 3
+
+
+def test_assemble_session_event_time_anchors_timer_on_max_ts():
+    """Event-time mode: timer = max event ts + gap, monotone across
+    out-of-order triggers; emit on timeout matches the shared sort order."""
+    from deduplicate_spark.streaming.sessionize import assemble_session_event_time
+
+    st = _StubState(watermark_ms=0)
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    list(
+        assemble_session_event_time(
+            ("c1",),
+            [pd.DataFrame({"turn_idx": [2, 0],
+                           "text": ["third", "first"],
+                           "ts": [t0 + pd.Timedelta(seconds=4), t0]})],
+            st,
+            gap_ms=10_000,
+        )
+    )
+    base_ms = int(t0.value // 1_000_000)
+    assert st.timeout_ts == base_ms + 4_000 + 10_000
+    # second trigger delivers an OLDER event: timer must not move backwards
+    list(
+        assemble_session_event_time(
+            ("c1",),
+            [pd.DataFrame({"turn_idx": [1], "text": ["second"],
+                           "ts": [t0 + pd.Timedelta(seconds=1)]})],
+            st,
+            gap_ms=10_000,
+        )
+    )
+    assert st.timeout_ts == base_ms + 4_000 + 10_000
+
+    st.hasTimedOut = True
+    row = list(assemble_session_event_time(("c1",), [], st, gap_ms=10_000))[0].iloc[0]
+    assert row.doc_text == "first\nsecond\nthird"
+    assert row.n_turns == 3 and st.removed
+
+
+def test_assemble_session_event_time_clamps_to_watermark():
+    """A conversation whose entire buffer is older than the current
+    watermark must clamp its timeout to watermark+1 (Spark rejects timeout
+    timestamps at or behind the watermark), not raise."""
+    from deduplicate_spark.streaming.sessionize import assemble_session_event_time
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    base_ms = int(t0.value // 1_000_000)
+    st = _StubState(watermark_ms=base_ms + 3_600_000)  # watermark 1h ahead
+    list(
+        assemble_session_event_time(
+            ("c2",),
+            [pd.DataFrame({"turn_idx": [0], "text": ["x"], "ts": [t0]})],
+            st,
+            gap_ms=10_000,
+        )
+    )
+    assert st.timeout_ts == base_ms + 3_600_000 + 1
+
+
+def test_sessionize_event_time_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """End-to-end event-time session windows: out-of-order turns delivered
+    across separate triggers assemble byte-identically to batch
+    assemble_docs; a turn arriving BELOW the watermark is dropped at the
+    operator boundary (the documented late-drop policy) and never corrupts
+    the emitted doc."""
+    import pandas as _pd
+
+    from deduplicate_spark.operators.assembly import assemble_docs
+    from deduplicate_spark.streaming.sessionize import sessionize_turns
+
+    t0 = _pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(items):
+        return _pd.DataFrame(
+            [
+                {"conv_id": c, "turn_idx": i, "role": "user", "text": tx,
+                 "tool": None, "ts": ts}
+                for (c, i, tx, ts) in items
+            ]
+        )
+
+    src = tmp_path / "et_turns"
+    os.makedirs(src)
+    cfg = DedupConfig()
+
+    def write(name, pdf):
+        spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
+            str(src / name), mode="overwrite"
+        )
+
+    # trigger 1: c1 turns 2 and 0, OUT OF ORDER in both idx and event time
+    write("f1", rows([
+        ("c1", 2, "third", t0 + _pd.Timedelta(seconds=4)),
+        ("c1", 0, "first", t0),
+    ]))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    docs = sessionize_turns(stream, cfg, gap_ms=10_000, event_time_watermark="5 seconds")
+    q = (
+        docs.writeStream.format("memory")
+        .queryName("et_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "et_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # trigger 2: the straggler turn 1 (still within watermark) + a
+        # sentinel conv whose ts drags the watermark past c1's gap
+        write("f2", rows([
+            ("c1", 1, "second", t0 + _pd.Timedelta(seconds=2)),
+            ("zz", 0, "sentinel", t0 + _pd.Timedelta(seconds=60)),
+        ]))
+        q.processAllAvailable()
+        # trigger 3: a LATE turn for c1 (ts far below the watermark ->
+        # dropped) + a second sentinel so the batch runs and c1's timer
+        # (armed against the post-trigger-2 watermark) fires
+        write("f3", rows([
+            ("c1", 9, "too-late", t0 + _pd.Timedelta(seconds=1)),
+            ("zz2", 0, "sentinel2", t0 + _pd.Timedelta(seconds=120)),
+        ]))
+        q.processAllAvailable()
+
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            hits = spark.table("et_docs").filter("conv_id = 'c1'").collect()
+            if hits:
+                got = hits[0]
+                break
+            # keep advancing the watermark until the timer fires
+            write(f"adv_{int(time.time()*1000)}", rows([
+                ("zz3", 0, "adv", t0 + _pd.Timedelta(seconds=240)),
+            ]))
+            q.processAllAvailable()
+            time.sleep(0.5)
+        assert got is not None, "c1 never emitted"
+
+        # batch reference: the three ON-TIME turns only
+        expected = assemble_docs(
+            spark.createDataFrame(rows([
+                ("c1", 2, "third", t0 + _pd.Timedelta(seconds=4)),
+                ("c1", 0, "first", t0),
+                ("c1", 1, "second", t0 + _pd.Timedelta(seconds=2)),
+            ]), TRANSCRIPTS_SCHEMA),
+            cfg,
+        ).filter("conv_id = 'c1'").collect()[0]
+        assert got.exact_sha == expected.exact_sha
+        assert got.n_turns == 3
+        assert got.total_len == expected.total_len
+    finally:
+        q.stop()
 
 
 def test_sessionize_stream_matches_batch_assembly(spark, tmp_path):
