@@ -139,6 +139,48 @@ def main() -> None:
         lambda: eq.q_dd_ngram_jaccard_pairs(spark, sf_dir).count(),
     )
     timed("ann_cosine_topk", lambda: eq.q_ann_cosine_topk(spark, sf_dir).count())
+
+    # production-IVF row (VERDICT r5 #6): k-means|| quantizer + matmul cell
+    # assignment at a production-ish probe fraction, with the honest recall
+    # number vs brute force recorded alongside the wall. NB this corpus is
+    # 10 diffuse label blobs with near-uniform within-blob distances, so
+    # raw recall@10 ~ probed fraction for ANY IVF (the planted-neighbor
+    # recall gate — 1.0 at nprobe/n_cells=1/16 — lives in
+    # tests/test_similarity.py::test_ivf_kmeans_production_recall_gate).
+    def ivf_kmeans() -> None:
+        import collections
+
+        from deduplicate_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_centroids_kmeans,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        cents = ivf_centroids_kmeans(emb, n_cells=64, seed=42)
+        got = {
+            (r.q_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, queries, nprobe=16, k=10, centroids=cents,
+                assign_via_kernel=True,
+            ).collect()
+        }
+        bf = brute_force_topk(emb, queries, k=11).collect()
+        per_q = collections.defaultdict(list)
+        for r in sorted(bf, key=lambda r: (r.q_id, r.rnk)):
+            if r.q_id != r.neighbor_id and len(per_q[r.q_id]) < 10:
+                per_q[r.q_id].append(r.neighbor_id)
+        truth = {(q, n) for q, ns in per_q.items() for n in ns}
+        extras["ivf_kmeans"] = {
+            "n_cells": 64,
+            "nprobe": 16,
+            "raw_recall_at10": round(len(truth & got) / max(len(truth), 1), 4),
+        }
+
+    timed("ann_ivf_kmeans", ivf_kmeans)
     timed("token_count", lambda: eq.q_tx_token_count(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -232,25 +232,33 @@ def ivf_assign_kernel(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cells array<int>) via one numpy matmul per Arrow batch — the
-    kernel form of :func:`_probe_cells` for LARGE cell counts, where
-    n_cells literal fold-expressions would bloat codegen (the native
-    projection is linear in n_cells per row; the matmul is one BLAS call).
-    Same argmax-of-cosine semantics, ties -> smaller cell."""
+    """(id, cells array<int>[, _v array<double>]) via one numpy matmul per
+    Arrow batch — the kernel form of :func:`_probe_cells` for LARGE cell
+    counts, where n_cells literal fold-expressions would bloat codegen (the
+    native projection is linear in n_cells per row; the matmul is one BLAS
+    call). Same argmax-of-cosine semantics, ties -> smaller cell.
+    ``keep_vec`` passes the vector through so downstream re-rank needs no
+    join back to the source table (mapInPandas is a narrow transform — the
+    corpus side still never shuffles)."""
     cmat = np.asarray(centroids, dtype=np.float64)
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
     def kernel(batches):
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            cs = mat @ cmat.T  # (batch, n_cells)
+            nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cs = nmat @ cmat.T  # (batch, n_cells)
             # stable argsort on -cs: cosine desc, ties -> smaller cell
             top = np.argsort(-cs, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-            yield pd.DataFrame({"vid": pdf[id_col].to_numpy(), "cells": list(top)})
+            out = {"vid": pdf[id_col].to_numpy(), "cells": list(top)}
+            if keep_vec:
+                out["_v"] = list(mat)
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), vec_col).mapInPandas(kernel, "vid long, cells array<int>")
+    schema = "vid long, cells array<int>" + (", _v array<double>" if keep_vec else "")
+    return df.select(F.col(id_col), vec_col).mapInPandas(kernel, schema)
 
 
 def ivf_topk(
@@ -263,6 +271,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     centroids: list[list[float]] | None = None,
+    assign_via_kernel: bool | None = None,
 ) -> DataFrame:
     """IVF-partitioned approximate top-k — the inverted-file scale path
     beside the SRP-LSH one (``ann_topk``): every corpus vector is assigned
@@ -272,19 +281,43 @@ def ivf_topk(
     n_cells of the corpus per query instead of all of it). The probe
     attach is a broadcast join on ``cell`` — the corpus side never
     shuffles; only the candidate set (already cut by the cell filter)
-    moves for the per-query top-k."""
+    moves for the per-query top-k.
+
+    ``assign_via_kernel`` (default: auto, > 64 cells) switches cell
+    assignment from the literal fold-expression projection to the
+    matmul kernel (:func:`ivf_assign_kernel`) — identical semantics;
+    at production cell counts (256+) the literal expression tree is
+    codegen poison while the kernel is one BLAS call per Arrow batch,
+    still a narrow (shuffle-free) transform on the corpus side."""
     cents = centroids if centroids is not None else ivf_centroids(vectors, n_cells, id_col, vec_col)
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("cell", _probe_cells(F.col("_v"), cents, 1)[0])
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("_q"),
+    use_kernel = assign_via_kernel if assign_via_kernel is not None else len(cents) > 64
+    if use_kernel:
+        v = ivf_assign_kernel(
+            vectors, cents, 1, id_col, vec_col, keep_vec=True
+        ).select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("cells")[0].alias("cell"),
+            "_v",
         )
-        .withColumn("cell", F.explode(_probe_cells(F.col("_q"), cents, nprobe)))
-    )
+        q = ivf_assign_kernel(
+            queries, cents, nprobe, query_id_col, vec_col, keep_vec=True
+        ).select(
+            F.col("vid").alias("q_id"),
+            F.explode("cells").alias("cell"),
+            F.col("_v").alias("_q"),
+        )
+    else:
+        v = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).withColumn("cell", _probe_cells(F.col("_v"), cents, 1)[0])
+        q = (
+            queries.select(
+                F.col(query_id_col).alias("q_id"),
+                F.col(vec_col).cast("array<double>").alias("_q"),
+            )
+            .withColumn("cell", F.explode(_probe_cells(F.col("_q"), cents, nprobe)))
+        )
     scored = (
         v.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("neighbor_id"))
