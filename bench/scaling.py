@@ -194,8 +194,9 @@ def main() -> None:
                 "fresh_fill_s": p["fresh_fill_128mib_s"],
                 "healthy": p["healthy"],
             }
-        except Exception:
-            return None
+        except Exception as e:  # record WHY, not a bare null (a silent
+            # None is indistinguishable from "probe never ran")
+            return {"error": f"{type(e).__name__}: {e}"}
 
     wh = args.warehouse if args.bucketed else None
     modes = ["oph", "perm"] if args.minhash_mode == "both" else [args.minhash_mode]
@@ -210,7 +211,11 @@ def main() -> None:
                 walls[(mode, cores)].append(
                     run_once(cores, args.input_cache, wh_dir=wh, minhash_mode=mode)
                 )
-                probes[(mode, cores)].append(pre)
+                # true bracket: the post probe catches a window that went
+                # bad DURING the run (the pre probe alone can't — this
+                # host's degradations arrive mid-hour, BENCH/BASELINE.md
+                # "host pathology")
+                probes[(mode, cores)].append({"pre": pre, "post": probe_now()})
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     results = []
