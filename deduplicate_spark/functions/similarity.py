@@ -41,6 +41,54 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _foldorder_sq_norms(mat: np.ndarray) -> np.ndarray:
+    """sqrt of the LEFT-FOLD sum of squares per row — the exact summation
+    order of :func:`_norm` (``F.aggregate`` folds the array left-to-right),
+    so the result is bit-identical to the JVM expression."""
+    acc = np.zeros(mat.shape[0])
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * mat[:, i]
+    return np.sqrt(acc)
+
+
+def _foldorder_cosine_matrix(
+    mat: np.ndarray, qmat: np.ndarray, qnorm: np.ndarray | None = None
+) -> np.ndarray:
+    """(rows x queries) cosine matrix with the EXACT left-fold summation
+    order of :func:`cosine_sim` — dot folds products index 0..d-1, the
+    denominator is norm(q) * norm(v) — so every value is bit-identical to
+    the higher-order-function column this replaces (guide §4.2: same math,
+    vectorized in numpy instead of interpreted per array element)."""
+    b, d = mat.shape
+    q = qmat.shape[0]
+    dot = np.zeros((b, q))
+    for i in range(d):
+        dot = dot + mat[:, i, None] * qmat[None, :, i]
+    vnorm = _foldorder_sq_norms(mat)
+    if qnorm is None:
+        qnorm = _foldorder_sq_norms(qmat)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dot / (qnorm[None, :] * vnorm[:, None])
+
+
+def _batch_topk_frames(
+    ids: np.ndarray, cos: np.ndarray, qids: np.ndarray, k: int
+):
+    """Per-batch top-k per query under Spark's (cosine DESC NaN-first,
+    id ASC) window order. ``ids`` MUST already be sorted ascending so the
+    stable sort breaks cosine ties by id. Returns (q, nid, cos) arrays."""
+    kk = min(k, ids.shape[0])
+    key = -cos
+    # Spark's DESC total order puts NaN first; numpy sorts NaN last — map
+    # NaN to -inf so the batch-local ranking agrees with the final window
+    np.copyto(key, -np.inf, where=np.isnan(key))
+    order = np.argsort(key, axis=0, kind="stable")[:kk, :]  # (kk, Q)
+    out_q = np.repeat(qids, kk)
+    out_id = ids[order].T.ravel()
+    out_cos = cos[order, np.arange(cos.shape[1])[None, :]].T.ravel()
+    return out_q, out_id, out_cos
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -52,20 +100,54 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each query row.
 
     vectors(id_col, vec_col) x queries(query_id_col, vec_col) ->
-    (q_id, neighbor_id, cosine, rnk). Queries are broadcast — the big side
-    never shuffles."""
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    (q_id, neighbor_id, cosine, rnk). The query set rides into a
+    mapInPandas kernel closure (it was broadcast before — same memory
+    class); the corpus side stays a narrow, shuffle-free scan. The kernel
+    scores a whole Arrow batch against all queries with fold-order-exact
+    numpy (bit-identical cosines to the former zip_with/aggregate column,
+    which was interpreted per array element — guide §4.1/§4.2) and emits
+    only each batch's top-k per query, so the final window ranks
+    ~(batches x Q x k) rows instead of N x Q. Every global top-k row is
+    top-k within its own batch, so the reduction is lossless."""
+    q_rows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids = np.array([r[0] for r in q_rows])
+    qmat = (
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 0))
     )
-    q = queries.select(
-        F.col(query_id_col).alias("q_id"),
-        F.col(vec_col).cast("array<double>").alias("_q"),
-    )
-    scored = v.crossJoin(F.broadcast(q)).select(
-        "q_id",
-        "neighbor_id",
-        cosine_sim(F.col("_q"), F.col("_v")).alias("cosine"),
+    qnorm = _foldorder_sq_norms(qmat) if q_rows else np.zeros(0)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or qmat.shape[0] == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            srt = np.argsort(ids, kind="stable")
+            ids = ids[srt]
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )[srt]
+            cos = _foldorder_cosine_matrix(mat, qmat, qnorm)
+            out_q, out_id, out_cos = _batch_topk_frames(ids, cos, qids, k)
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_id, "cosine": out_cos}
+            )
+
+    q_t = queries.schema[query_id_col].dataType.simpleString()
+    v_t = vectors.schema[id_col].dataType.simpleString()
+    src = vectors.select(F.col(id_col), vec_col)
+    # parallelism floor: a bench-scale corpus is one parquet split, which
+    # would run the kernel on one core; at real scale the scan already has
+    # >= cores splits and takes no extra exchange (guide §2.4)
+    npart = src.rdd.getNumPartitions()
+    want = vectors.sparkSession.sparkContext.defaultParallelism
+    if npart < want:
+        src = src.repartition(want)
+    scored = src.mapInPandas(
+        kernel, f"q_id {q_t}, neighbor_id {v_t}, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -222,7 +304,14 @@ def ivf_centroids_kmeans(
     sample = src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(sample)
+    # k-means|| + Lloyd make ~15 passes over the sample; cache it for the
+    # duration of the fit so each pass reads memory instead of re-running
+    # the scan + vector conversion (bounded: <= sample_rows rows)
+    sample = sample.cache()
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(sample)
+    finally:
+        sample.unpersist()
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
@@ -257,7 +346,8 @@ def ivf_assign_kernel(
                 out["_v"] = list(mat)
             yield pd.DataFrame(out)
 
-    schema = "vid long, cells array<int>" + (", _v array<double>" if keep_vec else "")
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = f"vid {id_t}, cells array<int>" + (", _v array<double>" if keep_vec else "")
     return df.select(F.col(id_col), vec_col).mapInPandas(kernel, schema)
 
 
@@ -275,53 +365,136 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-partitioned approximate top-k — the inverted-file scale path
     beside the SRP-LSH one (``ann_topk``): every corpus vector is assigned
-    to its nearest coarse cell by a zero-shuffle literal-centroid
-    projection, each query probes its ``nprobe`` nearest cells, and the
-    exact cosine re-rank touches only vectors in probed cells (~nprobe /
-    n_cells of the corpus per query instead of all of it). The probe
-    attach is a broadcast join on ``cell`` — the corpus side never
-    shuffles; only the candidate set (already cut by the cell filter)
-    moves for the per-query top-k.
+    to its nearest coarse cell, each query probes its ``nprobe`` nearest
+    cells, and the exact cosine re-rank touches only vectors in probed
+    cells (~nprobe / n_cells of the corpus per query instead of all of
+    it). Assignment + scoring + batch-local top-k run in ONE mapInPandas
+    pass over the corpus — a narrow, shuffle-free transform (the former
+    probe attach was a broadcast join producing a candidate-pair row per
+    scored pair, whose zip_with/aggregate cosine was interpreted per array
+    element — guide §4.1); queries and centroids ride in the closure.
+    Only ~(batches x Q x k) ranked candidates reach the final window, and
+    every global top-k row is top-k within its batch, so the reduction is
+    lossless.
 
-    ``assign_via_kernel`` (default: auto, > 64 cells) switches cell
-    assignment from the literal fold-expression projection to the
-    matmul kernel (:func:`ivf_assign_kernel`) — identical semantics;
-    at production cell counts (256+) the literal expression tree is
-    codegen poison while the kernel is one BLAS call per Arrow batch,
-    still a narrow (shuffle-free) transform on the corpus side."""
+    ``assign_via_kernel`` (default: auto, > 64 cells) selects which
+    assignment ARITHMETIC is replicated bit-exactly: the matmul kernel
+    form (normalize + BLAS + stable argsort, :func:`ivf_assign_kernel`)
+    or the literal fold-expression form (:func:`_probe_cells` — fold-order
+    cosine, ties -> smaller cell). Same argmax-of-cosine semantics."""
     cents = centroids if centroids is not None else ivf_centroids(vectors, n_cells, id_col, vec_col)
     use_kernel = assign_via_kernel if assign_via_kernel is not None else len(cents) > 64
+    cmat = np.asarray(cents, dtype=np.float64)
+
+    # queries ride into the kernel closure (they were broadcast before —
+    # same memory class). Their probe cells are computed driver-side with
+    # the SAME arithmetic the chosen assignment mode used on executors:
+    # kernel mode = normalize + matmul + stable argsort of -cs (exactly
+    # ivf_assign_kernel); literal mode = fold-order cosine + (ncs, cell)
+    # ascending sort (exactly _probe_cells). Bit-identical assignments.
+    q_rows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids = np.array([r[0] for r in q_rows])
+    qmat = (
+        np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, cmat.shape[1] if cmat.ndim == 2 else 0))
+    )
+    npr = min(nprobe, cmat.shape[0])
     if use_kernel:
-        v = ivf_assign_kernel(
-            vectors, cents, 1, id_col, vec_col, keep_vec=True
-        ).select(
-            F.col("vid").alias("neighbor_id"),
-            F.col("cells")[0].alias("cell"),
-            "_v",
-        )
-        q = ivf_assign_kernel(
-            queries, cents, nprobe, query_id_col, vec_col, keep_vec=True
-        ).select(
-            F.col("vid").alias("q_id"),
-            F.explode("cells").alias("cell"),
-            F.col("_v").alias("_q"),
-        )
+        cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        if qmat.shape[0]:
+            qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            qcells = np.argsort(-(qn @ cnorm.T), axis=1, kind="stable")[:, :npr]
+        else:
+            qcells = np.zeros((0, npr), dtype=np.int64)
     else:
-        v = vectors.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        ).withColumn("cell", _probe_cells(F.col("_v"), cents, 1)[0])
-        q = (
-            queries.select(
-                F.col(query_id_col).alias("q_id"),
-                F.col(vec_col).cast("array<double>").alias("_q"),
+        qncs = -_foldorder_cosine_matrix(qmat, cmat)  # (Q, C)
+        qcells = np.argsort(qncs, axis=1, kind="stable")[:, :npr]
+    qnorm = _foldorder_sq_norms(qmat) if qmat.shape[0] else np.zeros(0)
+    # inverted probe lists: cell -> indices of the queries probing it
+    cell_queries: dict[int, np.ndarray] = {}
+    if qmat.shape[0]:
+        flat_cells = qcells.ravel()
+        flat_q = np.repeat(np.arange(qcells.shape[0]), qcells.shape[1])
+        srt = np.argsort(flat_cells, kind="stable")
+        uc, starts = np.unique(flat_cells[srt], return_index=True)
+        for c, s, e in zip(
+            uc, starts, np.append(starts[1:], flat_cells.shape[0])
+        ):
+            cell_queries[int(c)] = flat_q[srt[s:e]]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or qmat.shape[0] == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            srt0 = np.argsort(ids, kind="stable")
+            ids = ids[srt0]
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )[srt0]
+            # cell assignment, mode-exact (see driver-side comment)
+            if use_kernel:
+                nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cell = np.argsort(-(nmat @ cnorm.T), axis=1, kind="stable")[:, 0]
+            else:
+                ncs = -_foldorder_cosine_matrix(mat, cmat)
+                cell = np.argsort(ncs, axis=1, kind="stable")[:, 0]
+            # score each row ONLY against the queries probing its cell —
+            # the IVF contract: ~nprobe/n_cells of the pairs, never N x Q
+            per_q_ids: dict[int, list] = {}
+            per_q_cos: dict[int, list] = {}
+            order = np.argsort(cell, kind="stable")
+            uc, starts = np.unique(cell[order], return_index=True)
+            for c, s, e in zip(uc, starts, np.append(starts[1:], cell.shape[0])):
+                q_idx = cell_queries.get(int(c))
+                if q_idx is None:
+                    continue
+                rows = order[s:e]
+                cos = _foldorder_cosine_matrix(mat[rows], qmat[q_idx], qnorm[q_idx])
+                for j, qi in enumerate(q_idx):
+                    per_q_ids.setdefault(int(qi), []).append(ids[rows])
+                    per_q_cos.setdefault(int(qi), []).append(cos[:, j])
+            if not per_q_ids:
+                continue
+            out_q, out_id, out_cos = [], [], []
+            for qi, id_chunks in per_q_ids.items():
+                cid = np.concatenate(id_chunks)
+                cco = np.concatenate(per_q_cos[qi])
+                keep = cid != qids[qi]
+                cid, cco = cid[keep], cco[keep]
+                if cid.shape[0] == 0:
+                    continue
+                key = -cco
+                np.copyto(key, -np.inf, where=np.isnan(key))
+                # cid is ascending within each chunk and chunks are from one
+                # ascending batch split by cell — re-sort so stable ranking
+                # breaks cosine ties by id, matching the final window
+                srt = np.lexsort((cid, key))[: min(k, cid.shape[0])]
+                out_q.append(np.full(srt.shape[0], qids[qi]))
+                out_id.append(cid[srt])
+                out_cos.append(cco[srt])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_cos),
+                }
             )
-            .withColumn("cell", F.explode(_probe_cells(F.col("_q"), cents, nprobe)))
-        )
-    scored = (
-        v.join(F.broadcast(q), "cell")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine_sim(F.col("_q"), F.col("_v")).alias("cosine"))
+
+    q_t = queries.schema[query_id_col].dataType.simpleString()
+    v_t = vectors.schema[id_col].dataType.simpleString()
+    src = vectors.select(F.col(id_col), vec_col)
+    npart = src.rdd.getNumPartitions()
+    want = vectors.sparkSession.sparkContext.defaultParallelism
+    if npart < want:
+        src = src.repartition(want)
+    scored = src.mapInPandas(
+        kernel, f"q_id {q_t}, neighbor_id {v_t}, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
