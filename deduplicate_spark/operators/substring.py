@@ -179,6 +179,78 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return _max_crossing_lcp(sa, levels, len(ab))
 
 
+# seed extensions per pair before the verifier falls back to the full
+# suffix-array LCS; false candidates need a handful, repetitive docs whose
+# shared value recurs many times get the exact O(n log n) path instead
+_SEED_BUDGET = 512
+
+
+def _seed_extends_ge(
+    ab: np.ndarray, bb: np.ndarray, i: int, j: int, w: int, t: int
+) -> bool:
+    """True iff the maximal common extension of the aligned w-gram match at
+    byte offsets (i, j) reaches ``t`` bytes. Byte-verified (a hash-collision
+    seed simply fails), vectorized slice compares, O(t) per seed."""
+    # forward from the seed start: the first t matching bytes suffice
+    fwd_max = min(ab.shape[0] - i, bb.shape[0] - j)
+    fl = min(fwd_max, t)
+    eq = ab[i : i + fl] == bb[j : j + fl]
+    fwd = fl if eq.all() else int(np.argmin(eq))
+    if fwd >= t:
+        return True
+    # backward: common suffix of the prefixes ending at the seed
+    back_max = min(i, j, t - fwd)
+    if back_max <= 0:
+        return False
+    eqb = ab[i - back_max : i] == bb[j - back_max : j]
+    rev = eqb[::-1]
+    back = back_max if rev.all() else int(np.argmin(rev))
+    return back + fwd >= t
+
+
+def has_common_substring_ge(ta: str, tb: str, t: int, w: int, cap: int | None) -> bool:
+    """Decide ``LCS(ta, tb) >= t`` — the substring-pass verify predicate —
+    without building a suffix array in the common case.
+
+    Winnowing guarantee (Schleimer et al. 2003): any common substring of
+    length >= t contains a fingerprint SELECTED by both docs at aligned
+    positions, so it suffices to try the maximal byte-verified extension
+    around every occurrence pair of every shared selected value
+    (:func:`_seed_extends_ge`) — a handful of O(t) slice compares —
+    instead of the O(n log n) suffix-array build per pair that dominated
+    the stage wall (measured at a 29k-doc word-salad corpus: 423k
+    candidates, ~1 ms/pair, 0 confirmed). Falls back to the exact
+    suffix-array LCS when the seed budget is exhausted (pathologically
+    repetitive docs) or when either text exceeds the fingerprint cap
+    (the guarantee then no longer covers the truncated tail). Decision is
+    exactly ``longest_common_substring_len(ta, tb) >= t`` in all cases.
+    """
+    if not ta or not tb:
+        return False
+    if cap is not None and (len(ta) > cap or len(tb) > cap):
+        return longest_common_substring_len(ta, tb) >= t
+    raw_a = _raw_window_hashes(ta, w, None)
+    raw_b = _raw_window_hashes(tb, w, None)
+    shared = np.intersect1d(
+        _winnow_from_raw(raw_a, t, w), _winnow_from_raw(raw_b, t, w),
+        assume_unique=True,
+    )
+    if shared.size == 0:
+        return False
+    ab = np.frombuffer(ta.encode("utf-8"), dtype=np.uint8)
+    bb = np.frombuffer(tb.encode("utf-8"), dtype=np.uint8)
+    budget = _SEED_BUDGET
+    for v in shared:
+        for i in np.flatnonzero(raw_a == v):
+            for j in np.flatnonzero(raw_b == v):
+                budget -= 1
+                if budget < 0:
+                    return longest_common_substring_len(ta, tb) >= t
+                if _seed_extends_ge(ab, bb, int(i), int(j), w, t):
+                    return True
+    return False
+
+
 FINGERPRINT_DDL = "conv_id {id_type}, fp long"
 
 
@@ -213,6 +285,20 @@ def substring_pairs(
 ) -> DataFrame:
     """Confirmed substring-dup edges (a, b, evidence='substring')."""
     config = config or DedupConfig()
+    # Candidate-economy: fingerprint with the WIDEST w-gram the guarantee
+    # allows (capped at 64 B; never below the configured size). Winnowing's
+    # guarantee holds for any w <= t — a common substring of length >= t
+    # contains all of its t-w+1 w-grams — but the FALSE-candidate rate is
+    # driven by how often unrelated docs share a w-gram: 16-byte grams are
+    # ~3 words and collide constantly on template/word-salad corpora
+    # (measured at a 29k-doc corpus: 423k candidate pairs, 0 confirmed),
+    # 64-byte grams are ~11 consecutive identical words and essentially
+    # never collide by chance. The confirmed pair set is invariant: the
+    # verifier decides LCS >= t exactly on any candidate superset.
+    if config.substring_min_len // 4 > config.winnow_kgram:
+        config = replace(
+            config, winnow_kgram=min(64, config.substring_min_len // 4)
+        )
     # a doc shorter than t bytes cannot contain a t-byte substring: drop it
     # before fingerprinting. Kills the random min-hash collisions tiny docs
     # produce (measured: 13k -> ~2k candidate pairs at sf0.1, verify was
@@ -246,7 +332,14 @@ def substring_pairs(
     fp_input = docs
     if config.kernel_small_corpus:
         fp_input = fp_input.repartition(config.shuffle_partitions)
-    fps = doc_fingerprints(fp_input, config)
+    # EAGER lineage cut on the narrow (conv_id, fp) rows: tag_bucket_stats
+    # consumes them twice (partial agg + join-back probe), and AQE
+    # materializes the two join inputs as CONCURRENT query stages — with no
+    # cut (or a lazy one, which racing jobs both compute) each side re-runs
+    # the winnowing kernel over the full text (measured at a 29k-doc
+    # corpus: two back-to-back 3.4s kernel jobs for one fingerprint pass).
+    # The barrier costs one materialization of a ~16-byte/row table.
+    fps = cut_lineage(doc_fingerprints(fp_input, config), eager=True)
 
     # salted stats (VERDICT r2 #2): a winnowing fingerprint shared by 10^7
     # boilerplate docs at 100 TB must not become a one-task window straggler
@@ -293,6 +386,8 @@ def substring_pairs(
     )
 
     t = config.substring_min_len
+    w = config.winnow_kgram
+    cap = config.max_shingle_chars
     id_type = docs.schema["conv_id"].dataType.simpleString()
     id_dtype = "int64" if id_type == "bigint" else "object"
 
@@ -300,7 +395,9 @@ def substring_pairs(
         for pdf in batches:
             keep_a, keep_b = [], []
             for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["text_a"], pdf["text_b"]):
-                if longest_common_substring_len(ta or "", tb or "") >= t:
+                # seed-and-extend decision, equal to LCS(ta, tb) >= t
+                # (suffix-array fallback inside — see has_common_substring_ge)
+                if has_common_substring_ge(ta or "", tb or "", t, w, cap):
                     keep_a.append(a)
                     keep_b.append(b)
             yield pd.DataFrame(

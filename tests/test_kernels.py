@@ -272,3 +272,48 @@ def test_oph_stride_kills_band_amplification_on_sparse_docs():
     # stay within a small constant of honest.
     assert fires["adj"] > 20 * max(fires["str"], 1) or fires["str"] <= 3, fires
     assert fires["str"] <= 10, fires
+
+
+def test_seed_extend_verifier_equals_suffix_array_lcs():
+    """has_common_substring_ge must decide EXACTLY LCS(a, b) >= t for every
+    pair — planted true pairs at/around the threshold, random word-salad
+    false candidates (the dominant case at scale), repetitive docs that
+    exhaust the seed budget and take the suffix-array fallback, and short
+    and empty edge cases."""
+    from deduplicate_spark.operators.substring import (
+        has_common_substring_ge,
+        longest_common_substring_len,
+    )
+
+    rng = random.Random(11)
+    words = [f"w{i:03d}" for i in range(40)]  # small vocab -> shared w-grams
+
+    def salad(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    t, w = 128, 16
+    cases = []
+    # planted: shared core lengths around the threshold
+    for core_len in [t - 30, t - 1, t, t + 1, t * 2]:
+        core = ("c" * 7 + "-") * (core_len // 8 + 1)
+        core = core[:core_len]
+        cases.append((salad(30) + " " + core + " " + salad(30),
+                      core + " " + salad(60)))
+    # random false candidates (word salad shares many w-grams, no long runs)
+    for _ in range(30):
+        cases.append((salad(60), salad(60)))
+    # repetitive docs: many occurrences of the same value -> budget path
+    cases.append((("ha " * 300), ("ha " * 300) + salad(10)))
+    cases.append((("ab" * 400), ("ab" * 150)))
+    # edges
+    cases.append(("", salad(20)))
+    cases.append(("short", "short"))
+    for ta, tb in cases:
+        want = longest_common_substring_len(ta, tb) >= t
+        got = has_common_substring_ge(ta, tb, t, w, cap=200_000)
+        assert got == want, (want, got, ta[:60], tb[:60])
+    # capped-text fallback stays exact too
+    long_a = salad(200)
+    assert has_common_substring_ge(long_a, long_a, t, w, cap=100) == (
+        longest_common_substring_len(long_a, long_a) >= t
+    )
