@@ -72,16 +72,25 @@ def _foldorder_cosine_matrix(
 
 
 def _batch_topk_frames(
-    ids: np.ndarray, cos: np.ndarray, qids: np.ndarray, k: int
+    ids: np.ndarray,
+    cos: np.ndarray,
+    qids: np.ndarray,
+    k: int,
+    exclude: np.ndarray | None = None,
 ):
     """Per-batch top-k per query under Spark's (cosine DESC NaN-first,
     id ASC) window order. ``ids`` MUST already be sorted ascending so the
-    stable sort breaks cosine ties by id. Returns (q, nid, cos) arrays."""
+    stable sort breaks cosine ties by id. ``exclude`` (optional bool mask,
+    same shape as ``cos``) ranks masked pairs last so they are only picked
+    when a batch has fewer than k rows for a query. Returns (q, nid, cos)
+    arrays."""
     kk = min(k, ids.shape[0])
     key = -cos
     # Spark's DESC total order puts NaN first; numpy sorts NaN last — map
     # NaN to -inf so the batch-local ranking agrees with the final window
     np.copyto(key, -np.inf, where=np.isnan(key))
+    if exclude is not None:
+        key[exclude] = np.inf
     order = np.argsort(key, axis=0, kind="stable")[:kk, :]  # (kk, Q)
     out_q = np.repeat(qids, kk)
     out_id = ids[order].T.ravel()
@@ -96,6 +105,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row.
 
@@ -108,7 +118,10 @@ def brute_force_topk(
     which was interpreted per array element — guide §4.1/§4.2) and emits
     only each batch's top-k per query, so the final window ranks
     ~(batches x Q x k) rows instead of N x Q. Every global top-k row is
-    top-k within its own batch, so the reduction is lossless."""
+    top-k within its own batch, so the reduction is lossless.
+
+    ``exclude_self`` drops (q, q) pairs before ranking — the semantics of
+    a pre-window ``id != q_id`` filter."""
     q_rows = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>")
     ).collect()
@@ -131,7 +144,15 @@ def brute_force_topk(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )[srt]
             cos = _foldorder_cosine_matrix(mat, qmat, qnorm)
-            out_q, out_id, out_cos = _batch_topk_frames(ids, cos, qids, k)
+            # self pairs rank last in-batch, then any that still slipped
+            # into a short batch's top-k are dropped — none reach the window
+            excl = ids[:, None] == qids[None, :] if exclude_self else None
+            out_q, out_id, out_cos = _batch_topk_frames(
+                ids, cos, qids, k, exclude=excl
+            )
+            if exclude_self:
+                keep = out_id != out_q
+                out_q, out_id, out_cos = out_q[keep], out_id[keep], out_cos[keep]
             yield pd.DataFrame(
                 {"q_id": out_q, "neighbor_id": out_id, "cosine": out_cos}
             )
@@ -286,33 +307,59 @@ def ivf_centroids_kmeans(
     seed: int = 42,
     sample_rows: int = 100_000,
 ) -> list[list[float]]:
-    """Production quantizer: k-means|| (Spark ML) over a bounded RANDOM
+    """Production quantizer: seeded k-means++ / Lloyd over a bounded RANDOM
     sample — at 100 TB the quantizer trains on a sample, never the corpus.
     The sample must be uniform, not ``limit()``: limit takes the first N
     rows in file order, and a corpus written shard-by-shard (by source, by
     time) would train centroids on one region of embedding space, piling
     everything else into a few far cells and collapsing nprobe recall.
     A seeded Bernoulli sample costs one extra count() over the (narrow)
-    vector column. Returns the same ordered-centroid-list contract as
-    :func:`ivf_centroids`."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    vector column.
 
+    The FIT runs driver-side in numpy: a coarse quantizer's training set is
+    at most ``sample_rows`` rows (~50 MB at d=64) — small data by
+    construction — while the Spark ML k-means|| fit made ~15 distributed
+    passes over it (measured: 4-7 s of per-job scheduling on a 20k-row
+    sample vs <0.3 s for the same Lloyd iterations in BLAS). Distribution
+    stays where the data is big (the sampling scan); Euclidean objective,
+    k-means++ init, 10 Lloyd iterations — the same algorithm family and
+    determinism guarantees as before. Returns the same
+    ordered-centroid-list contract as :func:`ivf_centroids`."""
     n = vectors.count()
     frac = min(1.0, sample_rows / max(n, 1))
     src = vectors if frac >= 1.0 else vectors.sample(fraction=frac, seed=seed)
-    sample = src.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    # k-means|| + Lloyd make ~15 passes over the sample; cache it for the
-    # duration of the fit so each pass reads memory instead of re-running
-    # the scan + vector conversion (bounded: <= sample_rows rows)
-    sample = sample.cache()
-    try:
-        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(sample)
-    finally:
-        sample.unpersist()
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    rows = src.select(F.col(vec_col).cast("array<double>")).collect()
+    mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if mat.shape[0] == 0:
+        return []
+    k = min(n_cells, mat.shape[0])
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding (Arthur & Vassilvitskii, SODA 2007)
+    sq = (mat * mat).sum(axis=1)
+    cents = np.empty((k, mat.shape[1]))
+    cents[0] = mat[rng.integers(mat.shape[0])]
+    d2 = sq - 2 * (mat @ cents[0]) + (cents[0] * cents[0]).sum()
+    np.maximum(d2, 0, out=d2)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(d2.shape[0], 1 / d2.shape[0])
+        cents[i] = mat[rng.choice(mat.shape[0], p=probs)]
+        nd2 = sq - 2 * (mat @ cents[i]) + (cents[i] * cents[i]).sum()
+        np.minimum(d2, np.maximum(nd2, 0), out=d2)
+
+    for _ in range(10):  # Lloyd, same iteration budget as the former fit
+        csq = (cents * cents).sum(axis=1)
+        assign = (csq[None, :] - 2 * (mat @ cents.T)).argmin(axis=1)
+        new_cents = cents.copy()  # empty cells keep their center (as Spark ML)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, mat)
+        nz = counts > 0
+        new_cents[nz] = sums[nz] / counts[nz, None]
+        if np.array_equal(new_cents, cents):
+            break
+        cents = new_cents
+    return [list(map(float, c)) for c in cents]
 
 
 def ivf_assign_kernel(

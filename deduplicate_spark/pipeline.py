@@ -322,10 +322,19 @@ def run_pipeline(
     # single downstream action materializes each checkpoint exactly once
     # anyway.
     kernel_eager = bool(config.kernel_small_corpus)
-    reps_text = ckpt(
-        "reps_text",
-        ktext.join(maybe_merge_hint(rep_ids, config.forced_smj), "conv_id", "left_semi"),
-        eager=kernel_eager,
+    reps_join = ktext.join(
+        maybe_merge_hint(rep_ids, config.forced_smj), "conv_id", "left_semi"
+    )
+    # the reps_text checkpoint exists for REUSE (substring pass, prefix
+    # prefilter, store resumability). With none of those on, the signature
+    # kernel is its only consumer and the checkpoint is a pure extra
+    # materialization of a text-sized table — feed the semi-join straight
+    # into the kernel so the text attach and the kernel fuse into one pass.
+    reps_reused = (
+        store is not None or config.enable_substring_pass or config.prefix_prefilter
+    )
+    reps_text = (
+        ckpt("reps_text", reps_join, eager=kernel_eager) if reps_reused else reps_join
     )
 
     # optional beg_hash cascade stage (reference pass-1 semantics): the
