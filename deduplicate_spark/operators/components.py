@@ -48,14 +48,20 @@ def connected_components(
     edge are returned (singletons are not duplicates — reference reports
     count>1 groups only).
 
-    ``assume_deduped=True`` skips the defensive edge dedup — the pipeline
-    already dropDuplicates its union, and re-deduping a 10^7-edge list is
-    a full extra exchange.
+    ``assume_deduped=True`` skips the defensive edge dedup — re-deduping a
+    10^7-edge list is a full extra exchange, and every path here tolerates
+    duplicate a < b rows: min-label propagation and the driver union-find
+    are idempotent over repeated edges, and the distributed path dedups
+    its symmetrized edge list anyway (duplicates only pad the n_edges
+    fast-path gate, which is a heuristic threshold).
     """
     pairs = edges.select("a", "b")
     if not assume_deduped:
         pairs = pairs.dropDuplicates(["a", "b"])
-    pairs = pairs.transform(lambda _df: cut_lineage(_df, eager=True))
+    # LAZY cut: the count() on the next line is the first (and serial)
+    # consumer, so it materializes the checkpoint blocks in the same job —
+    # an eager cut here paid a full extra pass over the edge-producing DAG
+    pairs = pairs.transform(lambda _df: cut_lineage(_df, eager=False))
 
     # small-edge fast path: confirmed dup edges are a tiny fraction of the
     # corpus (the cascade's whole point); below the threshold an exact

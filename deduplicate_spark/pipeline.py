@@ -235,23 +235,9 @@ def run_pipeline(
     # (measured OOM class at 6.5M turns/local[2], see lineage.py)
     docs = ckpt("docs", assemble_docs(turns, config), spill_only=True)
 
-    # COLUMNAR CHECKPOINT SPLIT: localCheckpoint blocks are row-cached with
-    # no column pruning, so every consumer of the full docs table re-reads
-    # all text bytes even for a (conv_id, sha) projection — measured at
-    # 6.5M turns: 4 separate full-block passes, ~100 s-cpu of redundant
-    # DRAM traffic on a bandwidth-bound host. Checkpoint a text-free meta
-    # projection ONCE and route every non-kernel stage (guard, exact
-    # cascade, relabel, election) through it; text blocks are read exactly
-    # once, into the kernel path below.
-    # eager: AQE materializes independent downstream stages CONCURRENTLY —
-    # with a lazy cut, each racing consumer recomputes meta from the
-    # full-text docs blocks before the narrow blocks land (measured: one
-    # extra 366 MB pass per racing consumer)
-    meta = ckpt("docs_meta", docs.drop("doc_text"), eager=True)
-
     # MEASURED forced-SMJ / rescue resolution (VERDICT r4 #1): one
-    # aggregation over the just-materialized narrow meta blocks yields real
-    # corpus counts — the gate planner estimates cannot be trusted for
+    # aggregation over the narrow meta blocks yields real corpus counts —
+    # the gate planner estimates cannot be trusted for
     # (estimate-admitted broadcasts are the measured OOM class). The same
     # pass doubles as the long-id collision guard, so the guard costs no
     # extra job when both are on.
@@ -261,6 +247,23 @@ def run_pipeline(
         or config.rescue_short_circuit is None
         or config.kernel_small_corpus is None
     )
+
+    # COLUMNAR CHECKPOINT SPLIT: localCheckpoint blocks are row-cached with
+    # no column pruning, so every consumer of the full docs table re-reads
+    # all text bytes even for a (conv_id, sha) projection — measured at
+    # 6.5M turns: 4 separate full-block passes, ~100 s-cpu of redundant
+    # DRAM traffic on a bandwidth-bound host. Checkpoint a text-free meta
+    # projection ONCE and route every non-kernel stage (guard, exact
+    # cascade, relabel, election) through it; text blocks are read exactly
+    # once, into the kernel path below.
+    # Eagerness: AQE materializes independent downstream stages
+    # CONCURRENTLY — with a lazy cut, racing consumers recompute meta from
+    # the full-text docs blocks before the narrow blocks land (measured:
+    # one extra 366 MB pass per racing consumer). But when the stats
+    # aggregation below runs (the default), it is the FIRST consumer and
+    # runs serially before any race can exist, so it materializes the lazy
+    # blocks in its own job — an eager cut would pay one extra full pass.
+    meta = ckpt("docs_meta", docs.drop("doc_text"), eager=not (verify or unresolved))
     if verify or unresolved:
         stats = corpus_stats(meta, verify_ids=verify)
         if verify:
@@ -410,7 +413,11 @@ def run_pipeline(
     if config.enable_substring_pass:
         sub_edges = substring_pairs(reps_text, config)
         edges = edges.unionByName(sub_edges)
-    edges = edges.dropDuplicates(["a", "b"])
+    # no (a, b) dedup exchange here: every source emits a < b pairs, CC's
+    # min-label propagation and the driver union-find are invariant to
+    # duplicate edges, and the distributed path dedups its symmetrized
+    # edge list itself — the dropDuplicates was a full extra shuffle of
+    # the edge list for nothing
 
     components = connected_components(
         edges,
