@@ -33,10 +33,27 @@ def main() -> None:
             r = json.loads(line)
             if r.get("n_turns", 0) > 20_000_000 and "wall_sec_local2" in r:
                 rows.append(r)
-    # the latest interleaved pair = last row per mode among trailing rows
+    # the latest interleaved pair = last ADJACENT (oph, perm) rows that
+    # declare each other via interleaved_with — last-row-per-mode over the
+    # whole file could pair rows from different campaigns/windows, exactly
+    # the cross-window comparison the r5 protocol declares meaningless
+    # (ADVICE r6)
     latest: dict[str, dict] = {}
-    for r in rows:
-        latest[r.get("minhash_mode", "?")] = r
+    for a, b in zip(rows, rows[1:]):
+        ma, mb = a.get("minhash_mode", "?"), b.get("minhash_mode", "?")
+        if (
+            {ma, mb} == {"oph", "perm"}
+            and mb in (a.get("interleaved_with") or [])
+            and ma in (b.get("interleaved_with") or [])
+        ):
+            latest = {ma: a, mb: b}
+    if not latest:
+        print(
+            "no adjacent interleaved oph/perm pair found — refusing to pair "
+            "rows across campaigns/windows; no keep-or-flip decision."
+        )
+        for r in rows[-2:]:
+            latest.setdefault(r.get("minhash_mode", "?"), r)  # display-only
     print("| mode | wall 2c (s) | wall 8c (s) | thr 2c | thr 8c | eff | probe 2c | probe 8c |")
     print("|---|---|---|---|---|---|---|---|")
     for mode in ("oph", "perm"):

@@ -52,7 +52,16 @@ def get_spark(
         # AQE then coalesces only down to minPartitionSize (1 MB), so small
         # corpora keep their parallelism while big shuffles keep ~48-128 MB
         # partitions instead of corpus/cores.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        # never BELOW the caller's shuffle_partitions: AQE only coalesces
+        # DOWN from the initial count, so a flat 256 would cap a big
+        # cluster's exchanges at 256 pre-coalesce tasks — multi-GB
+        # partitions at multi-TB shuffles, the very pathology this setting
+        # exists to prevent (ADVICE r6). Extra initial partitions are
+        # cheap: byte-coalescing merges them right back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -136,9 +136,11 @@ def assemble_session_event_time(
     for pdf in pdfs:
         idx.extend(int(i) for i in pdf["turn_idx"])
         txt.extend(None if t is None else str(t) for t in pdf["text"])
-        ts_ms = (
-            pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000
-        )  # ns -> epoch ms
+        # drop null ts before the epoch conversion: NaT.astype('int64')
+        # raises in pandas 2.x (or poisons the max with the NaT sentinel),
+        # and TRANSCRIPTS_SCHEMA allows null ts (ADVICE r6)
+        ts = pd.to_datetime(pdf["ts"])
+        ts_ms = ts[ts.notna()].astype("int64") // 1_000_000  # ns -> epoch ms
         if len(ts_ms):
             max_ts = max(max_ts, int(ts_ms.max()))
     state.update((idx, txt, max_ts))
