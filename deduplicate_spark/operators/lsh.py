@@ -72,15 +72,19 @@ def candidate_pairs(
     """
     config = config or DedupConfig()
     collect_cap = config.max_band_bucket or COLLECT_CAP
-    # lineage cut on the NARROW band rows: tag_bucket_stats consumes them
-    # twice (partial agg + join-back probe) — without the cut each
-    # evaluation re-reads the ~1 KB/row signature checkpoint blocks and
-    # re-runs the 32x explode (measured: 2 of the 3 heaviest block-read
-    # stages in the pipeline)
+    # EAGER lineage cut on the NARROW band rows: tag_bucket_stats consumes
+    # them twice (partial agg + join-back probe), and AQE materializes the
+    # two join inputs as CONCURRENT query stages — racing consumers of a
+    # lazy cut BOTH compute it, re-running everything upstream. When the
+    # signature checkpoint itself is lazy (big-corpus path), that meant
+    # the whole signature KERNEL ran twice side by side (measured at a
+    # 2.5M-turn corpus: two identical 21.5 s MapInPandas+Generate stages —
+    # half the pipeline wall). The eager barrier serializes ONE
+    # materialization of the 16-byte/row band table.
     buckets = (
         band_buckets(signatures, config)
         .select("conv_id", "band_hash")
-        .transform(lambda _df: cut_lineage(_df, eager=False))
+        .transform(lambda _df: cut_lineage(_df, eager=True))
     )
     # (band_id is folded into band_hash by the xxhash64; carrying it would
     # only widen the 32x-exploded shuffle rows)
@@ -88,13 +92,15 @@ def candidate_pairs(
     # SCALE PATH (default salt_buckets>1): salted algebraic partial agg +
     # AQE-splittable join-back; window form for salt<=1 (small corpora).
     # Shared with the substring pass — see operators/skew.py.
+    # same two-concurrent-consumer shape downstream (huge_pairs + members
+    # both read tagged) -> same eager rationale as the buckets cut above
     tagged = tag_bucket_stats(
         buckets,
         "band_hash",
         salt_buckets=config.band_salt_buckets,
         forced_smj=config.forced_smj,
     ).select("conv_id", "band_hash", "bucket_n", "bucket_rep").transform(
-        lambda _df: cut_lineage(_df, eager=False)
+        lambda _df: cut_lineage(_df, eager=True)
     )
 
     # skew guard: never collect_list a mega-bucket (boilerplate content can
