@@ -344,9 +344,12 @@ def substring_pairs(
     # salted stats (VERDICT r2 #2): a winnowing fingerprint shared by 10^7
     # boilerplate docs at 100 TB must not become a one-task window straggler
     # — same skew-safe helper as the LSH band stage.
+    # EAGER: consumed by both the small and large branches, which AQE
+    # materializes concurrently — a lazy cut lets the racers both re-run
+    # the bucket-stats join (same pattern as the LSH band stage)
     annotated = tag_bucket_stats(
         fps, "fp", salt_buckets=config.band_salt_buckets, forced_smj=config.forced_smj
-    ).transform(lambda _df: cut_lineage(_df, eager=False))  # consumed by both small and large branches
+    ).transform(lambda _df: cut_lineage(_df, eager=True))
 
     small = annotated.filter(F.col("bucket_n") <= allpairs_max)
     l = small.select("fp", F.col("conv_id").alias("a"))
